@@ -1,0 +1,67 @@
+"""Typed, hashable run configuration.
+
+Mirrors the capability of the reference's Pydantic config surface
+(reference: etl/config.py:147-224) — typed validated fields plus a stable
+SHA-256 config hash stamped into lineage (reference: etl/config.py:194-203)
+— re-expressed as a plain dataclass (no external deps).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class IngestConfig:
+    """Configuration for one CDC ingest run."""
+
+    # --- storage locations -------------------------------------------------
+    lake_path: str = "warehouse/transcripts"
+    events_path: str = "warehouse/change_events"
+    ledger_path: str = "warehouse/ingest_ledger"
+    metrics_path: str = "warehouse/ingest_metrics"
+    validation_path: str = "warehouse/validation_log"
+
+    # --- table layout ------------------------------------------------------
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx")
+    num_buckets: int = 64  # bucket(conv_id) partitioning of the lake table
+
+    # --- batch planning (reference analogue: batch_size/checkpoint_interval,
+    # etl/config.py:88-92) ----------------------------------------------------
+    slice_lsn_width: int = 100_000  # events per LSN-bounded batch slice
+    max_batches: int | None = None
+
+    # --- skew handling -------------------------------------------------------
+    num_salts: int = 8          # two-phase LWW dedup salt fan-out
+    salt_threshold: int = 50_000  # only salt when slice rows/partition may skew
+
+    # --- validation gates (reference: etl/validate.py:33-137) ---------------
+    fail_on_critical: bool = True
+
+    # --- execution ----------------------------------------------------------
+    shuffle_partitions: int | None = None  # default: match cores
+    extra: dict = field(default_factory=dict)
+
+    def validate(self) -> None:
+        """Hard config validation (reference: etl/config.py:46-71 enum checks)."""
+        if self.num_buckets < 1:
+            raise ValueError("num_buckets must be >= 1")
+        if self.slice_lsn_width < 1:
+            raise ValueError("slice_lsn_width must be >= 1")
+        if self.num_salts < 1:
+            raise ValueError("num_salts must be >= 1")
+        if not self.key_cols:
+            raise ValueError("key_cols must be non-empty")
+
+
+def config_hash(cfg: IngestConfig) -> str:
+    """Stable SHA-256 over the canonical JSON dump of the config.
+
+    Reference parity: get_config_hash (etl/config.py:194-203).
+    """
+    payload = asdict(cfg)
+    payload["extra"] = dict(sorted(payload.get("extra", {}).items()))
+    blob = json.dumps(payload, sort_keys=True, default=str).encode()
+    return hashlib.sha256(blob).hexdigest()

@@ -1,0 +1,240 @@
+"""Copy-on-write MERGE INTO for LakeTable.
+
+Semantics (the Iceberg MERGE the north rule names, SURVEY.md §2.3 J7):
+
+    MERGE INTO lake t USING updates u
+    ON t.conv_id = u.conv_id AND t.turn_idx = u.turn_idx
+    WHEN MATCHED AND u._wins AND u.op = 'D' THEN DELETE
+    WHEN MATCHED AND u._wins                THEN UPDATE SET *
+    WHEN NOT MATCHED AND u.op != 'D'        THEN INSERT *
+
+where ``u._wins`` is the cross-batch last-writer-wins guard
+``(u.lsn, u.ts) >= (t._lsn, t.ts)`` — so even a disordered replay of
+already-applied slices converges to the same state (idempotence beyond
+fencing).
+
+Scale properties:
+- The target scan is pruned to the buckets the update slice touches
+  (collected as a tiny list of ints ≤ num_buckets).
+- The join shuffles on the key; AQE skew-join plus the caller's salted
+  dedup keep hot conversations from serializing a task.
+- The rewrite repartitions on (bucket_id, conv_id) so every output file
+  is bucket-pure while hot buckets still fan out across tasks.
+- Per-partition lineage counters come from the same joined plan (one
+  target scan, persisted) — reference analogue of success/fail
+  accounting at etl/persist.py:60-87.
+
+``updates`` must be key-deduped first (operators.dedup.lww_dedup); merge
+asserts nothing and trusts the contract, like Iceberg's MERGE requires a
+unique source key (cardinality check left to the caller).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+BUCKET_COL = "bucket_id"
+
+
+@dataclass
+class MergeResult:
+    snapshot_version: int
+    touched_buckets: list[int]
+    inserts: int = 0
+    updates: int = 0
+    deletes: int = 0
+    noops: int = 0  # deletes of absent keys + stale (LWW-lost) events
+    total_rows: int = 0
+    wall_ms: int = 0
+    partition_counters: list[dict] = field(default_factory=list)
+
+
+def merge_into(
+    table,
+    updates: DataFrame,
+    *,
+    batch_id: str | None = None,
+    op_col: str = "op",
+    lsn_col: str = "lsn",
+    ts_col: str = "ts",
+    start_lsn: int | None = None,
+    end_lsn: int | None = None,
+) -> MergeResult:
+    from gene_etl_spark.lake.table import LSN_COL
+
+    t0 = time.time()
+    manifest = table.manifest
+    key_cols = table.key_cols
+    num_buckets = table.num_buckets
+
+    # ---- schema evolution: additive columns from the update slice -------
+    table_schema = table.schema
+    table_cols = [f.name for f in table_schema.fields]
+    reserved = {op_col, lsn_col, "event_ts", BUCKET_COL}
+    upd_payload_cols = [c for c in updates.columns if c not in reserved]
+    new_fields = [
+        f for f in updates.schema.fields
+        if f.name in upd_payload_cols and f.name not in table_cols
+    ]
+    evolved_schema = table_schema
+    if new_fields:
+        import pyspark.sql.types as T
+
+        evolved_schema = T.StructType(
+            list(table_schema.fields)
+            + [T.StructField(f.name, f.dataType, True) for f in new_fields]
+        )
+    payload_cols = [f.name for f in evolved_schema.fields]
+
+    # ---- bucket the update slice; prune the target scan -----------------
+    upd = updates.withColumn(BUCKET_COL, table.bucket_expr())
+    upd = upd.persist(StorageLevel.MEMORY_AND_DISK)
+    touched = sorted(r[0] for r in upd.select(BUCKET_COL).distinct().collect())
+
+    target = table.read(buckets=touched, include_meta=True)
+    # align target to the evolved schema (old rows read nulls for new cols)
+    for f in new_fields:
+        if f.name not in target.columns:
+            target = target.withColumn(f.name, F.lit(None).cast(f.dataType))
+
+    TP, UP = "__t_", "__u_"
+    t_side = target.select(
+        *[F.col(c).alias(TP + c) for c in payload_cols + [LSN_COL]],
+        F.lit(True).alias(TP + "exists"),
+    )
+    u_cols = []
+    for c in payload_cols:
+        if c in upd.columns:
+            u_cols.append(F.col(c).alias(UP + c))
+        else:  # update slice predates a column the table already has
+            u_cols.append(F.lit(None).cast(dict(zip(payload_cols, [f.dataType for f in evolved_schema.fields]))[c]).alias(UP + c))
+    u_side = upd.select(
+        *u_cols,
+        F.col(op_col).alias(UP + "op"),
+        F.col(lsn_col).cast("long").alias(UP + "lsn"),
+        F.lit(True).alias(UP + "exists"),
+    )
+
+    cond = None
+    for k in key_cols:
+        c = F.col(TP + k).eqNullSafe(F.col(UP + k))
+        cond = c if cond is None else (cond & c)
+    joined = t_side.join(u_side, cond, "full_outer")
+
+    t_exists = F.coalesce(F.col(TP + "exists"), F.lit(False))
+    u_exists = F.coalesce(F.col(UP + "exists"), F.lit(False))
+    u_lsn, t_lsn = F.col(UP + "lsn"), F.col(TP + LSN_COL)
+    u_ts, t_ts = F.col(UP + ts_col), F.col(TP + ts_col)
+    is_delete = F.col(UP + "op") == F.lit("D")
+
+    # strict guard: an event with the same (lsn, ts) as the applied row is
+    # the same event — exact replays resolve to no-ops, not rewrites
+    u_wins = u_exists & (
+        ~t_exists
+        | (u_lsn > t_lsn)
+        | ((u_lsn == t_lsn) & F.coalesce(u_ts > t_ts, F.lit(False)))
+    )
+    action = (
+        F.when(~u_exists, F.lit("keep"))
+        .when(~u_wins, F.lit("stale"))
+        .when(is_delete & t_exists, F.lit("delete"))
+        .when(is_delete, F.lit("noop"))
+        .when(t_exists, F.lit("update"))
+        .otherwise(F.lit("insert"))
+    )
+    take_u = u_wins & ~is_delete
+    out_cols = [
+        F.when(take_u, F.col(UP + c)).otherwise(F.col(TP + c)).alias(c)
+        for c in payload_cols
+    ] + [F.when(take_u, u_lsn).otherwise(t_lsn).alias(LSN_COL)]
+
+    merged = joined.select(*out_cols, action.alias("__action")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+    # ---- rewrite touched buckets (bucket-pure files, hot buckets fan out)
+    version = manifest["version"] + 1
+    rel_commit = table._new_commit_dir(version)
+    abs_commit = os.path.join(table.path, rel_commit)
+    survivors = (
+        merged.where(~F.col("__action").isin("delete", "noop"))
+        .drop("__action")
+        .withColumn(BUCKET_COL, table.bucket_expr())
+    )
+    shuffle_n = max(
+        len(touched), int(table.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    )
+    (
+        survivors.repartition(shuffle_n, F.col(BUCKET_COL), F.col(key_cols[0]))
+        .write.partitionBy(BUCKET_COL)
+        .mode("overwrite")
+        .parquet(abs_commit)
+    )
+
+    # ---- per-partition lineage counters (same joined plan, one pass) ----
+    counters = (
+        merged.where(F.col("__action") != "keep")
+        .groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(
+            F.sum((F.col("__action") == "insert").cast("long")).alias("inserts"),
+            F.sum((F.col("__action") == "update").cast("long")).alias("updates"),
+            F.sum((F.col("__action") == "delete").cast("long")).alias("deletes"),
+            F.sum(F.col("__action").isin("noop", "stale").cast("long")).alias("noops"),
+        )
+        .collect()
+    )
+    merged.unpersist()
+    upd.unpersist()
+
+    # ---- commit the new snapshot ----------------------------------------
+    new_files = dict(manifest["files"])  # carry forward untouched buckets
+    bucket_files = table._list_bucket_files(abs_commit, rel_commit)
+    for b in touched:
+        new_files[str(b)] = bucket_files.get(str(b), [])
+
+    res = MergeResult(snapshot_version=version, touched_buckets=touched)
+    for row in counters:
+        d = row.asDict()
+        res.partition_counters.append(d)
+        res.inserts += d["inserts"] or 0
+        res.updates += d["updates"] or 0
+        res.deletes += d["deletes"] or 0
+        res.noops += d["noops"] or 0
+
+    prev_rows = manifest["summary"].get("total_rows", 0) or 0
+    res.total_rows = prev_rows + res.inserts - res.deletes
+
+    import json as _json
+
+    new_manifest = {
+        "version": version,
+        "parent": manifest["version"],
+        "schema": _json.loads(evolved_schema.json()),
+        "key_cols": key_cols,
+        "num_buckets": num_buckets,
+        "files": new_files,
+        "properties": {
+            "batch_id": batch_id,
+            "start_lsn": start_lsn,
+            "end_lsn": end_lsn,
+        },
+        "summary": {
+            "operation": "merge",
+            "total_rows": res.total_rows,
+            "inserts": res.inserts,
+            "updates": res.updates,
+            "deletes": res.deletes,
+            "noops": res.noops,
+            "touched_buckets": touched,
+        },
+        "committed_at_ms": int(time.time() * 1000),
+    }
+    table._write_manifest(new_manifest)
+    res.wall_ms = int((time.time() - t0) * 1000)
+    return res

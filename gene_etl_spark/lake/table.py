@@ -1,0 +1,264 @@
+"""LakeTable — a minimal Iceberg-style table format over Parquet.
+
+No Iceberg runtime jar is available in this environment, so the engine
+ships its own jar-free lake layer with the Iceberg properties the north
+rule needs (SURVEY.md §7.4 fallback design):
+
+- **Snapshot isolation / atomic commits**: every commit writes a new
+  immutable JSON manifest ``_manifests/v{N}.json`` via tmp-file +
+  ``os.link`` (atomic create, fails on conflict — optimistic concurrency).
+  Readers always see a complete manifest or the previous one.
+- **Bucketed layout**: data files are grouped by ``bucket_id =
+  pmod(xxhash64(conv_id), num_buckets)`` (Iceberg ``bucket(N, conv_id)``
+  transform analogue). MERGE rewrites only the buckets touched by a batch
+  — cost scales with the update slice, not the table (the partition-
+  pruning property that makes copy-on-write viable at 100 TB).
+- **Additive schema evolution**: the manifest owns the schema; new
+  payload columns appearing in an update slice extend it, and old data
+  files (which physically lack the column) read back as nulls via the
+  explicit-schema Parquet scan.
+- **Commit fencing**: each MERGE stamps its ``batch_id`` and LSN range
+  into the manifest properties; replaying a committed batch is detected
+  and skipped (exactly-once). Reference analogue: unique-constraint +
+  skip-if-exists idempotence (reference: etl/persist.py:152-185,
+  models.py:152).
+
+All data-plane work (scan, join, dedup, rewrite) is Spark DataFrame ops;
+the manifest layer is tiny driver-side JSON bookkeeping, exactly like
+Iceberg's metadata layer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gene_etl_spark.functions import bucket_of
+
+MANIFEST_DIR = "_manifests"
+DATA_DIR = "data"
+LSN_COL = "_lsn"  # hidden per-row last-writer LSN, enables cross-batch LWW
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed the same snapshot version first."""
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self._manifest_cache: dict | None = None
+
+    # ------------------------------------------------------------------ #
+    # lifecycle
+    # ------------------------------------------------------------------ #
+    @classmethod
+    def exists(cls, path: str) -> bool:
+        d = os.path.join(os.path.abspath(path), MANIFEST_DIR)
+        return os.path.isdir(d) and any(
+            f.startswith("v") and f.endswith(".json") for f in os.listdir(d)
+        )
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        key_cols: list[str],
+        num_buckets: int = 64,
+        overwrite: bool = False,
+    ) -> "LakeTable":
+        tbl = cls(spark, path)
+        if cls.exists(path):
+            if not overwrite:
+                raise FileExistsError(f"lake table already exists at {path}")
+            import shutil
+
+            shutil.rmtree(tbl.path)
+        os.makedirs(os.path.join(tbl.path, MANIFEST_DIR), exist_ok=True)
+        os.makedirs(os.path.join(tbl.path, DATA_DIR), exist_ok=True)
+        manifest = {
+            "version": 0,
+            "parent": None,
+            "schema": json.loads(schema.json()),
+            "key_cols": list(key_cols),
+            "num_buckets": int(num_buckets),
+            "files": {},  # bucket(str) -> [relative file paths]
+            "properties": {},
+            "summary": {"operation": "create", "total_rows": 0},
+            "committed_at_ms": int(time.time() * 1000),
+        }
+        tbl._write_manifest(manifest)
+        return tbl
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "LakeTable":
+        tbl = cls(spark, path)
+        if not cls.exists(path):
+            raise FileNotFoundError(f"no lake table at {path}")
+        tbl.manifest  # force read
+        return tbl
+
+    # ------------------------------------------------------------------ #
+    # manifest layer
+    # ------------------------------------------------------------------ #
+    @property
+    def manifest(self) -> dict:
+        if self._manifest_cache is None:
+            self._manifest_cache = self._read_manifest(self.version)
+        return self._manifest_cache
+
+    @property
+    def version(self) -> int:
+        d = os.path.join(self.path, MANIFEST_DIR)
+        versions = [
+            int(f[1:-5]) for f in os.listdir(d) if f.startswith("v") and f.endswith(".json")
+        ]
+        if not versions:
+            raise FileNotFoundError(f"no manifests under {d}")
+        return max(versions)
+
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(self.manifest["schema"])
+
+    @property
+    def key_cols(self) -> list[str]:
+        return list(self.manifest["key_cols"])
+
+    @property
+    def num_buckets(self) -> int:
+        return int(self.manifest["num_buckets"])
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.path, MANIFEST_DIR, f"v{version}.json")
+
+    def _read_manifest(self, version: int) -> dict:
+        with open(self._manifest_path(version)) as f:
+            return json.load(f)
+
+    def _write_manifest(self, manifest: dict) -> None:
+        """Atomic manifest commit: write tmp, hard-link into place.
+
+        ``os.link`` fails with EEXIST if a concurrent writer won the race
+        — optimistic concurrency, the Iceberg commit protocol shape.
+        """
+        final = self._manifest_path(manifest["version"])
+        tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, final)
+        except FileExistsError as e:
+            raise CommitConflict(f"snapshot v{manifest['version']} already committed") from e
+        finally:
+            os.unlink(tmp)
+        self._manifest_cache = manifest
+
+    def history(self) -> list[dict]:
+        return [self._read_manifest(v) for v in range(self.version + 1)]
+
+    def committed_batches(self) -> dict[str, dict]:
+        """batch_id -> {version, start_lsn, end_lsn} over the snapshot chain.
+
+        This is the fencing source of truth (the ledger is a cache of it)."""
+        out: dict[str, dict] = {}
+        for m in self.history():
+            bid = m.get("properties", {}).get("batch_id")
+            if bid:
+                out[bid] = {
+                    "version": m["version"],
+                    "start_lsn": m["properties"].get("start_lsn"),
+                    "end_lsn": m["properties"].get("end_lsn"),
+                }
+        return out
+
+    def max_committed_end_lsn(self) -> int | None:
+        ends = [
+            m["properties"].get("end_lsn")
+            for m in self.history()
+            if m.get("properties", {}).get("end_lsn") is not None
+        ]
+        return max(ends) if ends else None
+
+    # ------------------------------------------------------------------ #
+    # read path
+    # ------------------------------------------------------------------ #
+    def _physical_schema(self, manifest: dict | None = None) -> T.StructType:
+        m = manifest or self.manifest
+        fields = list(T.StructType.fromJson(m["schema"]).fields)
+        fields.append(T.StructField(LSN_COL, T.LongType(), True))
+        return T.StructType(fields)
+
+    def _files_for(self, buckets: list[int] | None = None) -> list[str]:
+        files_map = self.manifest["files"]
+        keys = (
+            files_map.keys() if buckets is None else [str(b) for b in buckets]
+        )
+        out: list[str] = []
+        for k in keys:
+            out.extend(os.path.join(self.path, rel) for rel in files_map.get(k, []))
+        return out
+
+    def read(self, buckets: list[int] | None = None, include_meta: bool = False) -> DataFrame:
+        """Scan the table (optionally pruned to a bucket list).
+
+        Explicit schema + recursiveFileLookup: no schema inference, no
+        partition discovery, and files predating a schema evolution read
+        the new columns as null.
+        """
+        phys = self._physical_schema()
+        files = self._files_for(buckets)
+        if not files:
+            df = self.spark.createDataFrame([], phys)
+        else:
+            df = (
+                self.spark.read.schema(phys)
+                .option("recursiveFileLookup", "true")
+                .parquet(*files)
+            )
+        if not include_meta:
+            df = df.drop(LSN_COL)
+        return df
+
+    # ------------------------------------------------------------------ #
+    # write path (MERGE lives in lake/merge.py, bound here)
+    # ------------------------------------------------------------------ #
+    def merge(self, updates: DataFrame, **kwargs):
+        from gene_etl_spark.lake.merge import merge_into
+
+        return merge_into(self, updates, **kwargs)
+
+    def _new_commit_dir(self, version: int) -> str:
+        rel = os.path.join(DATA_DIR, f"c{version:06d}-{uuid.uuid4().hex[:8]}")
+        os.makedirs(os.path.join(self.path, rel), exist_ok=True)
+        return rel
+
+    @staticmethod
+    def _list_bucket_files(abs_commit_dir: str, rel_commit_dir: str) -> dict[str, list[str]]:
+        """Map bucket -> relative parquet paths under a commit directory
+        written with ``partitionBy("bucket_id")``."""
+        out: dict[str, list[str]] = {}
+        for root, _dirs, files in os.walk(abs_commit_dir):
+            base = os.path.basename(root)
+            if not base.startswith("bucket_id="):
+                continue
+            b = base.split("=", 1)[1]
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    rel_root = os.path.join(rel_commit_dir, base)
+                    out.setdefault(b, []).append(os.path.join(rel_root, fn))
+        return out
+
+    def bucket_expr(self, col: str | None = None) -> F.Column:
+        return bucket_of(col or self.key_cols[0], self.num_buckets)

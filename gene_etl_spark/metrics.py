@@ -1,0 +1,74 @@
+"""Ingest metrics / per-partition lineage counters table.
+
+Append-only Parquet directory with METRICS_SCHEMA rows: per-batch,
+per-phase, per-partition counts of events read, LWW-dropped duplicates,
+and applied inserts/updates/deletes/noops, plus wall-clock.
+
+Reference analogue: ETLProcessLog per-phase timings and success/fail
+accounting (models.py:183-198, etl/persist.py:60-87,
+etl/__init__.py:266-271) — lifted from one row per run to one row per
+(batch, phase, partition) so skew and stragglers are visible.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gene_etl_spark.schemas import METRICS_SCHEMA
+
+
+class MetricsTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        os.makedirs(self.path, exist_ok=True)
+
+    def append_rows(self, rows: list[dict]) -> None:
+        if not rows:
+            return
+        full = [
+            {f.name: r.get(f.name) for f in METRICS_SCHEMA.fields} for r in rows
+        ]
+        df = self.spark.createDataFrame(full, METRICS_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(self.path)
+
+    def read(self) -> DataFrame:
+        if not any(f.endswith(".parquet") for f in _walk_files(self.path)):
+            return self.spark.createDataFrame([], METRICS_SCHEMA)
+        return self.spark.read.schema(METRICS_SCHEMA).parquet(self.path)
+
+    def batch_summary(self) -> DataFrame:
+        """Per-batch accounting rollup (the invariant tests assert on it)."""
+        return (
+            self.read()
+            .groupBy("batch_id")
+            .agg(
+                F.sum("events_read").alias("events_read"),
+                F.sum("dedup_dropped").alias("dedup_dropped"),
+                F.sum("inserts").alias("inserts"),
+                F.sum("updates").alias("updates"),
+                F.sum("deletes").alias("deletes"),
+                F.sum("noops").alias("noops"),
+                F.max("wall_ms").alias("wall_ms"),
+            )
+        )
+
+
+def _walk_files(path: str):
+    for root, _d, files in os.walk(path):
+        for f in files:
+            yield os.path.join(root, f)
+
+
+def read_phase_counters(slice_df: DataFrame) -> list[dict]:
+    """Per-input-partition event counts for the read phase (computed on
+    the pushed-down Parquet scan partitions)."""
+    rows = (
+        slice_df.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(F.count(F.lit(1)).alias("events_read"))
+        .collect()
+    )
+    return [r.asDict() for r in rows]

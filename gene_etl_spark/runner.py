@@ -1,0 +1,197 @@
+"""CdcIngestRunner — the batch ingest loop.
+
+The Spark re-expression of the reference's 7-phase pipeline
+(etl/__init__.py:40-110), per SURVEY.md §3.1: read ledger → read LSN
+slice → validate (pre) → LWW dedup (salted) → MERGE INTO lake →
+validate (post) → append lineage + metrics → commit ledger.
+
+Exactly-once: a batch slice (start, end] is applied at most once —
+fencing consults both the ledger and the lake snapshot chain, so a crash
+between the lake commit and the ledger write does not double-apply
+(SURVEY.md §7.4). Replay of a committed batch is a recorded no-op
+(reference analogue: skip-if-exists counted as success,
+etl/persist.py:164-177).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import SparkSession
+from pyspark.storagelevel import StorageLevel
+
+from gene_etl_spark.config import IngestConfig, config_hash
+from gene_etl_spark.lake.table import LakeTable
+from gene_etl_spark.ledger import Ledger
+from gene_etl_spark.metrics import MetricsTable, read_phase_counters
+from gene_etl_spark.operators.dedup import lww_dedup
+from gene_etl_spark.sources.binlog import BinlogSource
+from gene_etl_spark.validate import Validator
+
+RESERVED_EVENT_COLS = ("op", "lsn", "event_ts")
+
+
+class CrashInjected(RuntimeError):
+    """Raised by the test-only crash hook between lake commit and ledger."""
+
+
+class CdcIngestRunner:
+    def __init__(self, spark: SparkSession, config: IngestConfig):
+        config.validate()
+        self.spark = spark
+        self.config = config
+        self.config_hash = config_hash(config)
+        self.source = BinlogSource(spark, config.events_path)
+        self.ledger = Ledger(config.ledger_path)
+        self.metrics = MetricsTable(spark, config.metrics_path)
+        self.validator = Validator(
+            spark, config.validation_path, fail_on_critical=config.fail_on_critical
+        )
+        self.table = self._open_table()
+        # test hook: raise after the lake snapshot commit, before ledger
+        self.crash_after_merge = False
+
+    # ------------------------------------------------------------------ #
+    def _open_table(self) -> LakeTable:
+        if LakeTable.exists(self.config.lake_path):
+            return LakeTable.load(self.spark, self.config.lake_path)
+        import pyspark.sql.types as T
+
+        payload_fields = [
+            f for f in self.source.schema.fields if f.name not in RESERVED_EVENT_COLS
+        ]
+        return LakeTable.create(
+            self.spark,
+            self.config.lake_path,
+            T.StructType(payload_fields),
+            key_cols=list(self.config.key_cols),
+            num_buckets=self.config.num_buckets,
+        )
+
+    # ------------------------------------------------------------------ #
+    def apply_batch(self, start_lsn: int, end_lsn: int) -> dict:
+        if self.ledger.is_committed(start_lsn, end_lsn) or self._lake_committed(
+            start_lsn, end_lsn
+        ):
+            return {
+                "start_lsn": start_lsn,
+                "end_lsn": end_lsn,
+                "skipped": True,
+                "reason": "already committed (fenced)",
+            }
+        batch_id = uuid.uuid4().hex
+        t0 = time.time()
+
+        slice_df = self.source.read_slice(start_lsn, end_lsn).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        try:
+            self.validator.pre_checks(
+                slice_df, list(self.config.key_cols), start_lsn, end_lsn, batch_id
+            )
+            read_counters = read_phase_counters(slice_df)
+            events_read = sum(r["events_read"] for r in read_counters)
+
+            deduped = lww_dedup(
+                slice_df,
+                key_cols=self.config.key_cols,
+                order_cols=("lsn", "ts"),
+                num_salts=self.config.num_salts if events_read >= self.config.salt_threshold else 1,
+            )
+            result = self.table.merge(
+                deduped,
+                batch_id=batch_id,
+                start_lsn=start_lsn,
+                end_lsn=end_lsn,
+            )
+        finally:
+            slice_df.unpersist()
+
+        if self.crash_after_merge:
+            raise CrashInjected(f"crash injected after merge of batch {batch_id}")
+
+        applied = result.inserts + result.updates + result.deletes + result.noops
+        wall_ms = int((time.time() - t0) * 1000)
+        metric_rows = [
+            {
+                "batch_id": batch_id,
+                "phase": "read",
+                "partition_id": int(r["partition_id"]),
+                "events_read": int(r["events_read"]),
+                "wall_ms": wall_ms,
+            }
+            for r in read_counters
+        ] + [
+            {
+                "batch_id": batch_id,
+                "phase": "read",
+                "partition_id": -1,
+                "dedup_dropped": int(events_read - applied),
+            }
+        ] + [
+            {
+                "batch_id": batch_id,
+                "phase": "apply",
+                "partition_id": int(c["partition_id"]),
+                "inserts": int(c["inserts"] or 0),
+                "updates": int(c["updates"] or 0),
+                "deletes": int(c["deletes"] or 0),
+                "noops": int(c["noops"] or 0),
+                "wall_ms": result.wall_ms,
+            }
+            for c in result.partition_counters
+        ]
+        self.metrics.append_rows(metric_rows)
+        self.validator.post_checks(self.table, batch_id)
+        self.ledger.record(
+            batch_id=batch_id,
+            start_lsn=start_lsn,
+            end_lsn=end_lsn,
+            status="committed",
+            config_hash=self.config_hash,
+            snapshot_version=result.snapshot_version,
+            extra={"events_read": events_read, "applied": applied},
+        )
+        return {
+            "batch_id": batch_id,
+            "start_lsn": start_lsn,
+            "end_lsn": end_lsn,
+            "events_read": events_read,
+            "dedup_dropped": events_read - applied,
+            "inserts": result.inserts,
+            "updates": result.updates,
+            "deletes": result.deletes,
+            "noops": result.noops,
+            "snapshot_version": result.snapshot_version,
+            "wall_ms": wall_ms,
+            "skipped": False,
+        }
+
+    def _lake_committed(self, start_lsn: int, end_lsn: int) -> bool:
+        return any(
+            b.get("start_lsn") == start_lsn and b.get("end_lsn") == end_lsn
+            for b in self.table.committed_batches().values()
+        )
+
+    # ------------------------------------------------------------------ #
+    def run(self, max_batches: int | None = None) -> dict:
+        t0 = time.time()
+        from_lsn = self.ledger.resume_lsn(self.table)
+        plan = self.source.plan_batches(
+            from_lsn,
+            self.config.slice_lsn_width,
+            max_batches or self.config.max_batches,
+        )
+        batches = [self.apply_batch(lo, hi) for lo, hi in plan]
+        wall = time.time() - t0
+        events = sum(b.get("events_read", 0) for b in batches if not b.get("skipped"))
+        return {
+            "resume_lsn": from_lsn,
+            "n_batches": len(batches),
+            "events_read": events,
+            "wall_sec": wall,
+            "events_per_sec": events / wall if wall > 0 else 0.0,
+            "final_snapshot": self.table.version,
+            "batches": batches,
+        }

@@ -1,0 +1,108 @@
+"""Binlog/WAL tail source: LSN-bounded slice reads + batch planning.
+
+The change log is a directory of Parquet tranche files totally ordered
+by ``lsn`` (SURVEY.md §2.1 S9). A batch is the half-open LSN range
+``(start_lsn, end_lsn]``; the predicate is pushed into the Parquet scan
+(row-group min/max pruning), so reading slice k does not scan the whole
+log — the property that lets the same code tail a 10^10-event stream.
+
+Schema evolution on read: tranches written before a column existed are
+aligned by reading each distinct physical schema group with the full
+declared schema (missing Parquet columns surface as nulls) — the
+``unionByName(allowMissingColumns=True)`` semantics without losing
+filter pushdown.
+
+Reference analogue: the extraction layer (etl/io.py:104-164) reads
+keyed slices of the fact table; the planner generalizes its
+batch_size/checkpoint_interval knobs (etl/config.py:88-92).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class BinlogSource:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType | None = None,
+    ):
+        self.spark = spark
+        self.path = path
+        self._schema = schema
+        self._schema_groups: list[tuple[tuple[str, ...], list[str]]] | None = None
+
+    # ------------------------------------------------------------------ #
+    def files(self) -> list[str]:
+        return sorted(glob.glob(os.path.join(self.path, "*.parquet")))
+
+    @property
+    def schema(self) -> T.StructType:
+        if self._schema is None:
+            # union of all tranche schemas, in first-seen field order
+            fields: dict[str, T.StructField] = {}
+            for _cols, fs in self._groups():
+                df = self.spark.read.parquet(fs[0])
+                for f in df.schema.fields:
+                    fields.setdefault(f.name, f)
+            self._schema = T.StructType(list(fields.values()))
+        return self._schema
+
+    def _groups(self) -> list[tuple[tuple[str, ...], list[str]]]:
+        """Group tranche files by physical column set (footer-only reads)."""
+        if self._schema_groups is None:
+            groups: dict[tuple[str, ...], list[str]] = {}
+            for f in self.files():
+                cols = tuple(pq.ParquetFile(f).schema_arrow.names)
+                groups.setdefault(cols, []).append(f)
+            self._schema_groups = list(groups.items())
+        return self._schema_groups
+
+    # ------------------------------------------------------------------ #
+    def read_slice(self, start_lsn: int, end_lsn: int) -> DataFrame:
+        """Events with start_lsn < lsn <= end_lsn, full declared schema."""
+        schema = self.schema
+        out: DataFrame | None = None
+        for _cols, fs in self._groups():
+            part = self.spark.read.schema(schema).parquet(*fs)
+            out = part if out is None else out.unionByName(part)
+        if out is None:
+            return self.spark.createDataFrame([], schema)
+        return out.where(
+            (F.col("lsn") > F.lit(start_lsn)) & (F.col("lsn") <= F.lit(end_lsn))
+        )
+
+    def max_lsn(self) -> int:
+        row = None
+        for _cols, fs in self._groups():
+            df = self.spark.read.parquet(*fs).agg(F.max("lsn").alias("m"))
+            r = df.collect()[0]["m"]
+            row = r if row is None else max(row, r)
+        return int(row or 0)
+
+    def plan_batches(
+        self, from_lsn: int, slice_width: int, max_batches: int | None = None
+    ) -> list[tuple[int, int]]:
+        """Deterministic LSN-bounded slices (start exclusive, end inclusive).
+
+        Replayable: the same (from_lsn, width, log) always yields the same
+        plan, which is what makes resume + fencing sound.
+        """
+        hi = self.max_lsn()
+        out: list[tuple[int, int]] = []
+        lo = from_lsn
+        while lo < hi:
+            end = min(lo + slice_width, hi)
+            out.append((lo, end))
+            lo = end
+            if max_batches is not None and len(out) >= max_batches:
+                break
+        return out

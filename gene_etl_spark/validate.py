@@ -1,0 +1,115 @@
+"""Pre/post validation gates.
+
+Reference parity (etl/validate.py:33-137): pre-processing checks raise
+on critical failure (hard gate, etl/validate.py:80-82); post-processing
+checks are recorded but do not raise. Every check is a single Spark
+aggregate over the data — one pass, no collects of row data.
+
+Checks:
+- pre  (on a batch slice): key columns non-null; op ∈ {I,U,D}; lsn
+  within the planned (start, end] bounds; lsn uniqueness.
+  (analogue: required-field/metadata checks etl/validate.py:139-243)
+- post (on the lake table): key uniqueness (one live row per
+  (conv_id, turn_idx), analogue etl/validate.py:447-476); row
+  accounting — manifest total_rows equals actual count (analogue
+  completeness check etl/validate.py:516-545).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gene_etl_spark.schemas import VALIDATION_SCHEMA
+
+
+class ValidationError(RuntimeError):
+    pass
+
+
+class Validator:
+    def __init__(self, spark: SparkSession, log_path: str, fail_on_critical: bool = True):
+        self.spark = spark
+        self.log_path = os.path.abspath(log_path)
+        self.fail_on_critical = fail_on_critical
+        os.makedirs(self.log_path, exist_ok=True)
+
+    # ------------------------------------------------------------------ #
+    def pre_checks(
+        self,
+        slice_df: DataFrame,
+        key_cols: list[str],
+        start_lsn: int,
+        end_lsn: int,
+        batch_id: str,
+    ) -> list[dict]:
+        null_key = None
+        for k in key_cols:
+            c = F.col(k).isNull()
+            null_key = c if null_key is None else (null_key | c)
+        agg = slice_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(null_key.cast("long")).alias("null_keys"),
+            F.sum((~F.col("op").isin("I", "U", "D")).cast("long")).alias("bad_ops"),
+            F.sum(
+                ((F.col("lsn") <= start_lsn) | (F.col("lsn") > end_lsn)).cast("long")
+            ).alias("oob_lsn"),
+            (F.count(F.lit(1)) - F.countDistinct("lsn")).alias("dup_lsn"),
+        ).collect()[0]
+        results = [
+            self._result(batch_id, "pre", "non_null_keys", (agg["null_keys"] or 0) == 0, True, f"null_keys={agg['null_keys']}"),
+            self._result(batch_id, "pre", "valid_ops", (agg["bad_ops"] or 0) == 0, True, f"bad_ops={agg['bad_ops']}"),
+            self._result(batch_id, "pre", "lsn_in_bounds", (agg["oob_lsn"] or 0) == 0, True, f"oob={agg['oob_lsn']} range=({start_lsn},{end_lsn}]"),
+            self._result(batch_id, "pre", "lsn_unique", (agg["dup_lsn"] or 0) == 0, False, f"dups={agg['dup_lsn']}"),
+        ]
+        self._record(results)
+        self._gate(results)
+        return results
+
+    def post_checks(self, table, batch_id: str) -> list[dict]:
+        df = table.read()
+        keys = table.key_cols
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(*[F.col(k) for k in keys]).alias("n_keys"),
+        ).collect()[0]
+        manifest_rows = table.manifest["summary"].get("total_rows")
+        results = [
+            self._result(batch_id, "post", "key_uniqueness", agg["n"] == agg["n_keys"], True, f"rows={agg['n']} keys={agg['n_keys']}"),
+            self._result(batch_id, "post", "row_accounting", manifest_rows is None or manifest_rows == agg["n"], False, f"manifest={manifest_rows} actual={agg['n']}"),
+        ]
+        self._record(results)
+        self._gate(results)
+        return results
+
+    # ------------------------------------------------------------------ #
+    def _result(self, batch_id, stage, name, passed, critical, details) -> dict:
+        return {
+            "batch_id": batch_id,
+            "stage": stage,
+            "check_name": name,
+            "passed": bool(passed),
+            "critical": bool(critical),
+            "details": details,
+            "validated_at": dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
+        }
+
+    def _record(self, results: list[dict]) -> None:
+        df = self.spark.createDataFrame(results, VALIDATION_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(self.log_path)
+
+    def _gate(self, results: list[dict]) -> None:
+        bad = [r for r in results if r["critical"] and not r["passed"]]
+        if bad and self.fail_on_critical:
+            raise ValidationError(
+                "; ".join(f"{r['stage']}:{r['check_name']} {r['details']}" for r in bad)
+            )
+
+    def read_log(self) -> DataFrame:
+        try:
+            return self.spark.read.schema(VALIDATION_SCHEMA).parquet(self.log_path)
+        except Exception:
+            return self.spark.createDataFrame([], VALIDATION_SCHEMA)
