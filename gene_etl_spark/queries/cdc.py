@@ -1,0 +1,138 @@
+"""CDC engine queries for the driver gate.
+
+``cdc_replay`` derives a deterministic change stream from the `events`
+test table, replays it batch-wise through the REAL engine (lake format,
+salted LWW dedup, copy-on-write MERGE, ledger, fencing) into a temp
+warehouse, and returns the final lake state. The DuckDB oracle states
+the same last-writer-wins materialization in pure SQL — so the whole
+ingest path is value-hash-gated by the driver, not just rows-checked.
+
+Derivation (identical in Spark and SQL):
+    conv_id  = 'u' || user_id
+    turn_idx = event_id % 40
+    lsn      = event_id + 1
+    op       = 'D' if event_type='error' and value < 50 else 'U'
+    role     = event_type
+    text     = props || '#' || floor(value * 10)
+    ts       = ts
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def derived_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        (F.col("event_id") + 1).cast("long").alias("lsn"),
+        F.when(
+            (F.col("event_type") == "error") & (F.col("value") < 50), F.lit("D")
+        ).otherwise(F.lit("U")).alias("op"),
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.pmod(F.col("event_id"), F.lit(40)).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.concat(
+            F.col("props"), F.lit("#"), F.floor(F.col("value") * 10).cast("string")
+        ).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts"),
+        F.col("ts").alias("event_ts"),
+    )
+
+
+def q_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gene_etl_spark.config import IngestConfig
+    from gene_etl_spark.runner import CdcIngestRunner
+
+    base = tempfile.mkdtemp(prefix="cdc_replay_")
+    try:
+        events_dir = os.path.join(base, "events")
+        derived_change_events(spark, sf_dir).repartition(4).write.parquet(events_dir)
+
+        max_lsn = spark.read.parquet(events_dir).agg(F.max("lsn")).collect()[0][0]
+        cfg = IngestConfig(
+            lake_path=os.path.join(base, "lake"),
+            events_path=events_dir,
+            ledger_path=os.path.join(base, "ledger"),
+            metrics_path=os.path.join(base, "metrics"),
+            validation_path=os.path.join(base, "validation"),
+            num_buckets=16,
+            slice_lsn_width=max(1, int(max_lsn) // 4),  # 4-5 batches
+            num_salts=4,
+            salt_threshold=0,
+        )
+        runner = CdcIngestRunner(spark, cfg)
+        runner.run()
+        out = runner.table.read().select("conv_id", "turn_idx", "role", "text", "ts")
+        # materialize before the temp warehouse is deleted
+        pdf = out.toPandas()
+        return spark.createDataFrame(pdf, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+SQL_CDC_REPLAY = """
+WITH derived AS (
+  SELECT (event_id + 1)::BIGINT AS lsn,
+         CASE WHEN event_type = 'error' AND value < 50 THEN 'D' ELSE 'U' END AS op,
+         'u' || user_id::VARCHAR AS conv_id,
+         (event_id % 40)::INTEGER AS turn_idx,
+         event_type AS role,
+         props || '#' || FLOOR(value * 10)::BIGINT::VARCHAR AS text,
+         ts
+  FROM events
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY lsn DESC, ts DESC) AS rn
+  FROM derived
+)
+SELECT conv_id, turn_idx, role, text, ts
+FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+
+def q_lww_dedup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted two-phase LWW dedup operator itself (skew path forced),
+    oracle-checked against a plain window dedup in SQL."""
+    from gene_etl_spark.operators.dedup import lww_dedup
+
+    ev = derived_change_events(spark, sf_dir)
+    return lww_dedup(
+        ev, key_cols=("conv_id", "turn_idx"), order_cols=("lsn", "ts"), num_salts=8
+    ).select("conv_id", "turn_idx", "lsn", "op", "text")
+
+
+SQL_LWW_DEDUP_SALTED = """
+WITH derived AS (
+  SELECT (event_id + 1)::BIGINT AS lsn,
+         CASE WHEN event_type = 'error' AND value < 50 THEN 'D' ELSE 'U' END AS op,
+         'u' || user_id::VARCHAR AS conv_id,
+         (event_id % 40)::INTEGER AS turn_idx,
+         props || '#' || FLOOR(value * 10)::BIGINT::VARCHAR AS text,
+         ts
+  FROM events
+)
+SELECT conv_id, turn_idx, lsn, op, text
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY lsn DESC, ts DESC) AS rn
+  FROM derived
+) WHERE rn = 1
+"""
+
+
+QUERIES = {
+    "cdc_replay": q_cdc_replay,
+    "lww_dedup_salted": q_lww_dedup_salted,
+}
+
+ORACLES = {
+    "cdc_replay": SQL_CDC_REPLAY,
+    "lww_dedup_salted": SQL_LWW_DEDUP_SALTED,
+}

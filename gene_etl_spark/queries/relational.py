@@ -1,0 +1,728 @@
+"""Relational operator battery over the TPC-H-ish test tables.
+
+Each query re-expresses an operator family from the reference (SURVEY.md
+§2 ids cited per function) as declarative DataFrame ops so Catalyst gets
+pushdown/pruning/join-selection for free. The paired DuckDB oracle SQL
+states identical semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gene_etl_spark.functions import canonical_pair
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------- #
+# S1/S2 + F1/F2: dim scan with whitelist/blacklist predicates
+# (reference: etl/io.py:52-82, whitelist IN at etl/io.py:60-61)
+# --------------------------------------------------------------------- #
+BRANDS = ("Brand#1", "Brand#3", "Brand#7")
+
+
+def q_scan_whitelist(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_brand").isin(*BRANDS) & (F.col("p_size") >= 10))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+
+
+SQL_SCAN_WHITELIST = f"""
+SELECT p_partkey, p_brand, p_type, p_size
+FROM part
+WHERE p_brand IN {BRANDS!r} AND p_size >= 10
+"""
+
+
+# --------------------------------------------------------------------- #
+# F3: key-set semijoin (reference materializes an IN list,
+# etl/io.py:128-133; here a leftsemi join the optimizer can plan)
+# --------------------------------------------------------------------- #
+def q_semijoin(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    return (
+        li.join(orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "leftsemi")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+    )
+
+
+SQL_SEMIJOIN = """
+SELECT l_returnflag,
+       COUNT(*)::BIGINT AS n_rows,
+       ROUND(SUM(l_quantity), 4) AS sum_qty
+FROM lineitem
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_orderkey = l_orderkey AND o_orderstatus = 'F')
+GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------- #
+# J1: the *intended* two-alias decoration join (the reference joins
+# DimGene twice without aliases — a bug at app.py:262-265; we implement
+# the correct two-alias form). Small dims are broadcast.
+# --------------------------------------------------------------------- #
+def q_two_alias_join(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier")
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    nation = load(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+    )
+
+
+SQL_TWO_ALIAS_JOIN = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       COUNT(*)::BIGINT AS n_rows,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------- #
+# J2/S3: dim ⋈ dim with filter (reference: samples ⋈ illness,
+# etl/io.py:84-102)
+# --------------------------------------------------------------------- #
+def q_dim_join(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").where(F.col("r_name").isin("ASIA", "EUROPE"))
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+    )
+
+
+SQL_DIM_JOIN = """
+SELECT r_name AS region_name, n_name AS nation_name,
+       COUNT(*)::BIGINT AS n_customers,
+       ROUND(AVG(c_acctbal), 4) AS avg_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name IN ('ASIA', 'EUROPE')
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------- #
+# A1-A3 + J3: conditional count / total count / left-join ratio
+# (reference low-expression filter: etl/filters.py:184-202)
+# --------------------------------------------------------------------- #
+QTY_THRESHOLD = 25.0
+
+
+def q_expression_proportion(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    expressed = (
+        li.where(F.col("l_quantity") > QTY_THRESHOLD)
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_expressed"))
+    )
+    total = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return (
+        total.join(expressed, "l_partkey", "left")
+        .select(
+            "l_partkey",
+            F.coalesce("n_expressed", F.lit(0)).cast("long").alias("n_expressed"),
+            "n_total",
+            F.round(
+                F.coalesce("n_expressed", F.lit(0)) / F.col("n_total"), 6
+            ).alias("expression_proportion"),
+        )
+    )
+
+
+SQL_EXPRESSION_PROPORTION = f"""
+WITH total AS (
+  SELECT l_partkey, COUNT(*)::BIGINT AS n_total FROM lineitem GROUP BY 1
+), expressed AS (
+  SELECT l_partkey, COUNT(*)::BIGINT AS n_expressed
+  FROM lineitem WHERE l_quantity > {QTY_THRESHOLD} GROUP BY 1
+)
+SELECT t.l_partkey,
+       COALESCE(e.n_expressed, 0)::BIGINT AS n_expressed,
+       t.n_total,
+       ROUND(COALESCE(e.n_expressed, 0) / t.n_total::DOUBLE, 6) AS expression_proportion
+FROM total t LEFT JOIN expressed e ON t.l_partkey = e.l_partkey
+"""
+
+
+# --------------------------------------------------------------------- #
+# A4 + T1: per-group variance of non-zero values, mean gate, top-N —
+# without the reference's pivot (etl/filters.py:55-91): one hash agg.
+# --------------------------------------------------------------------- #
+TOP_N = 50
+
+
+def q_variance_topn(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    nz = F.when(F.col("l_quantity") != 0, F.col("l_quantity"))
+    return (
+        li.groupBy("l_partkey")
+        .agg(
+            F.round(F.var_samp(nz), 6).alias("variance"),
+            F.round(F.avg(nz), 6).alias("mean_val"),
+            F.count(nz).cast("long").alias("n_nonzero"),
+        )
+        .where((F.col("mean_val") > 10.0) & (F.col("n_nonzero") >= 4))
+        .orderBy(F.desc("variance"), F.asc("l_partkey"))
+        .limit(TOP_N)
+    )
+
+
+SQL_VARIANCE_TOPN = f"""
+SELECT l_partkey,
+       ROUND(VAR_SAMP(CASE WHEN l_quantity != 0 THEN l_quantity END), 6) AS variance,
+       ROUND(AVG(CASE WHEN l_quantity != 0 THEN l_quantity END), 6) AS mean_val,
+       COUNT(CASE WHEN l_quantity != 0 THEN l_quantity END)::BIGINT AS n_nonzero
+FROM lineitem
+GROUP BY 1
+HAVING AVG(CASE WHEN l_quantity != 0 THEN l_quantity END) > 10.0
+   AND COUNT(CASE WHEN l_quantity != 0 THEN l_quantity END) >= 4
+ORDER BY variance DESC, l_partkey ASC
+LIMIT {TOP_N}
+"""
+
+
+# --------------------------------------------------------------------- #
+# A5: per-group IQR via interpolated percentiles (reference NumPy loop at
+# etl/filters.py:93-127 → built-in exact `percentile`)
+# --------------------------------------------------------------------- #
+def q_iqr(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("q1"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("q3"),
+            F.round(
+                F.percentile("l_extendedprice", F.lit(0.75))
+                - F.percentile("l_extendedprice", F.lit(0.25)),
+                4,
+            ).alias("iqr"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+
+
+SQL_IQR = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 4) AS q1,
+       ROUND(QUANTILE_CONT(l_extendedprice, 0.75), 4) AS q3,
+       ROUND(QUANTILE_CONT(l_extendedprice, 0.75)
+             - QUANTILE_CONT(l_extendedprice, 0.25), 4) AS iqr,
+       COUNT(*)::BIGINT AS n
+FROM lineitem
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------- #
+# A6: per-group MAD = median(|v - median|) (reference: etl/filters.py:129-162)
+# — two grouped medians + a broadcast join-back, no pivot.
+# --------------------------------------------------------------------- #
+def q_mad(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(F.median("l_quantity").alias("med"))
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.median(F.abs(F.col("l_quantity") - F.col("med"))), 6).alias("mad"),
+            F.round(F.first("med"), 6).alias("median_qty"),
+        )
+    )
+
+
+SQL_MAD = """
+WITH med AS (
+  SELECT l_returnflag, MEDIAN(l_quantity) AS med FROM lineitem GROUP BY 1
+)
+SELECT l.l_returnflag,
+       ROUND(MEDIAN(ABS(l.l_quantity - m.med)), 6) AS mad,
+       ROUND(ANY_VALUE(m.med), 6) AS median_qty
+FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------- #
+# A7/A8: distinct + count-distinct (reference: etl/io.py:280-287,
+# n_unique gates etl/correlate.py:216)
+# --------------------------------------------------------------------- #
+def q_distinct(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderstatus", "o_orderpriority")
+        .distinct()
+    )
+
+
+SQL_DISTINCT = "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders"
+
+
+def q_count_distinct(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").cast("long").alias("n_parts"),
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+    )
+
+
+SQL_COUNT_DISTINCT = """
+SELECT l_suppkey,
+       COUNT(DISTINCT l_partkey)::BIGINT AS n_parts,
+       COUNT(DISTINCT l_orderkey)::BIGINT AS n_orders
+FROM lineitem GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------- #
+# A9 + X5: grouped multi-agg with CASE banding (reference per-cohort
+# summary view models.py:268-283 + banding models.py:253-258)
+# --------------------------------------------------------------------- #
+def q_multi_agg_case(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum((F.col("l_discount") <= 0.05).cast("long")).cast("long").alias("n_low_disc"),
+        F.sum((F.col("l_discount") <= 0.01).cast("long")).cast("long").alias("n_very_low_disc"),
+        F.round(F.avg(F.abs(F.col("l_extendedprice"))), 4).alias("avg_abs_price"),
+        F.round(F.min("l_extendedprice"), 4).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 4).alias("max_price"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+SQL_MULTI_AGG_CASE = """
+SELECT l_returnflag,
+       COUNT(*)::BIGINT AS n_rows,
+       SUM(CASE WHEN l_discount <= 0.05 THEN 1 ELSE 0 END)::BIGINT AS n_low_disc,
+       SUM(CASE WHEN l_discount <= 0.01 THEN 1 ELSE 0 END)::BIGINT AS n_very_low_disc,
+       ROUND(AVG(ABS(l_extendedprice)), 4) AS avg_abs_price,
+       ROUND(MIN(l_extendedprice), 4) AS min_price,
+       ROUND(MAX(l_extendedprice), 4) AS max_price,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       MAX(l_shipdate) AS last_ship
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_case_banding(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    band = (
+        F.when(F.col("l_discount") <= 0.01, "high")
+        .when(F.col("l_discount") <= 0.05, "medium")
+        .when(F.col("l_discount") <= 0.08, "low")
+        .otherwise("none")
+    )
+    return (
+        li.withColumn("significance_band", band)
+        .groupBy("significance_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
+SQL_CASE_BANDING = """
+SELECT CASE WHEN l_discount <= 0.01 THEN 'high'
+            WHEN l_discount <= 0.05 THEN 'medium'
+            WHEN l_discount <= 0.08 THEN 'low'
+            ELSE 'none' END AS significance_band,
+       COUNT(*)::BIGINT AS n_rows,
+       ROUND(SUM(l_extendedprice), 2) AS total_price
+FROM lineitem GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------- #
+# A10: global single-row scalar stats (reference: etl/correlate.py:297-330)
+# --------------------------------------------------------------------- #
+def q_global_stats(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.min("l_extendedprice"), 4).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 4).alias("max_price"),
+        F.round(F.stddev_samp("l_discount"), 8).alias("sd_discount"),
+    )
+
+
+SQL_GLOBAL_STATS = """
+SELECT COUNT(*)::BIGINT AS n_rows,
+       COUNT(DISTINCT l_orderkey)::BIGINT AS n_orders,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(MIN(l_extendedprice), 4) AS min_price,
+       ROUND(MAX(l_extendedprice), 4) AS max_price,
+       ROUND(STDDEV_SAMP(l_discount), 8) AS sd_discount
+FROM lineitem
+"""
+
+
+# --------------------------------------------------------------------- #
+# W1 + T2: ranking window + offset/limit pagination
+# (reference: models.py:244 rank; app.py:244-245 pagination)
+# --------------------------------------------------------------------- #
+def q_rank_page(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where((F.col("rank") > 100) & (F.col("rank") <= 200))
+        .select("rank", "o_orderkey", F.round("o_totalprice", 2).alias("total_price"))
+    )
+
+
+SQL_RANK_PAGE = """
+WITH ranked AS (
+  SELECT o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders
+)
+SELECT rank::BIGINT AS rank, o_orderkey, ROUND(o_totalprice, 2) AS total_price
+FROM ranked WHERE rank > 100 AND rank <= 200
+"""
+
+
+# --------------------------------------------------------------------- #
+# W2: LWW dedup as a pure query (the CDC core operator, SURVEY.md §2.5)
+# — latest event per (user_id, event_type) by (ts, event_id)
+# --------------------------------------------------------------------- #
+def q_lww_latest_event(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", F.round("value", 4).alias("value"))
+    )
+
+
+SQL_LWW_LATEST_EVENT = """
+SELECT user_id, event_type, event_id, ts, ROUND(value, 4) AS value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------- #
+# T4: canonical intra-row pair ordering via least/greatest
+# (reference: etl/persist.py:114-117)
+# --------------------------------------------------------------------- #
+def q_canonical_pairs(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    a, b = canonical_pair("l_partkey", "l_suppkey")
+    return (
+        li.select(a.alias("key_a"), b.alias("key_b"))
+        .groupBy("key_a", "key_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+SQL_CANONICAL_PAIRS = """
+SELECT LEAST(l_partkey, l_suppkey) AS key_a,
+       GREATEST(l_partkey, l_suppkey) AS key_b,
+       COUNT(*)::BIGINT AS n
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------- #
+# §2.7 set ops: anti-join (reference consistency validation via Python
+# set difference, etl/validate.py:299-341 → leftanti)
+# --------------------------------------------------------------------- #
+def q_anti_join(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders.select("o_custkey"), cust.c_custkey == F.col("o_custkey"), "leftanti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_idle_customers"))
+    )
+
+
+SQL_ANTI_JOIN = """
+SELECT c_mktsegment, COUNT(*)::BIGINT AS n_idle_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------- #
+# P1: long→wide pivot (reference: etl/filters.py:60-64) — explicit value
+# list so the plan avoids a distinct-discovery job
+# --------------------------------------------------------------------- #
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    for c in EVENT_TYPES:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)).cast("long"))
+    return out
+
+
+SQL_PIVOT = """
+SELECT user_id,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END)::BIGINT AS click,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END)::BIGINT AS error,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)::BIGINT AS purchase,
+       COUNT(CASE WHEN event_type = 'signup' THEN 1 END)::BIGINT AS signup,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END)::BIGINT AS view
+FROM events GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------- #
+# X2: Benjamini–Hochberg FDR as pure window ops (reference scipy/
+# statsmodels per cohort, etl/correlate.py:149-189): q = suffix-min of
+# p*n/rank, capped at 1, per group.
+# --------------------------------------------------------------------- #
+def q_bh_fdr(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    grp = Window.partitionBy("event_type")
+    p = F.percent_rank().over(grp.orderBy(F.asc("value"), F.asc("event_id")))
+    df = ev.select("event_id", "event_type", "value").withColumn("p_value", p)
+    n = F.count(F.lit(1)).over(grp)
+    r = F.row_number().over(grp.orderBy(F.asc("p_value"), F.asc("event_id")))
+    df = df.withColumn("raw_q", F.col("p_value") * n / r)
+    wsuf = grp.orderBy(F.desc("p_value"), F.desc("event_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.select(
+        "event_id",
+        "event_type",
+        F.round("p_value", 8).alias("p_value"),
+        F.round(F.least(F.min("raw_q").over(wsuf), F.lit(1.0)), 8).alias("q_value"),
+    )
+
+
+SQL_BH_FDR = """
+WITH base AS (
+  SELECT event_id, event_type,
+         PERCENT_RANK() OVER (PARTITION BY event_type
+                              ORDER BY value ASC, event_id ASC) AS p_value
+  FROM events
+), ranked AS (
+  SELECT *,
+         COUNT(*) OVER (PARTITION BY event_type) AS n,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY p_value ASC, event_id ASC) AS r
+  FROM base
+)
+SELECT event_id, event_type,
+       ROUND(p_value, 8) AS p_value,
+       ROUND(LEAST(MIN(p_value * n / r) OVER (
+                 PARTITION BY event_type ORDER BY p_value DESC, event_id DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0), 8) AS q_value
+FROM ranked
+"""
+
+
+# --------------------------------------------------------------------- #
+# X1: correlation kernels. Pearson is a built-in JVM aggregate; Spearman
+# = Pearson over deterministic rank transforms (reference scipy kernels,
+# etl/correlate.py:124-129).
+# --------------------------------------------------------------------- #
+def q_corr_pearson(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("rho_pearson"),
+            F.count(F.lit(1)).cast("long").alias("n_samples"),
+        )
+    )
+
+
+SQL_CORR_PEARSON = """
+SELECT l_returnflag,
+       ROUND(CORR(l_quantity, l_extendedprice), 6) AS rho_pearson,
+       COUNT(*)::BIGINT AS n_samples
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_corr_spearman(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    grp = Window.partitionBy("l_returnflag")
+    rx = F.row_number().over(grp.orderBy("l_quantity", "l_orderkey", "l_linenumber"))
+    ry = F.row_number().over(grp.orderBy("l_extendedprice", "l_orderkey", "l_linenumber"))
+    ranked = li.withColumn("rx", rx).withColumn("ry", ry)
+    return ranked.groupBy("l_returnflag").agg(
+        F.round(F.corr("rx", "ry"), 6).alias("rho_spearman"),
+        F.count(F.lit(1)).cast("long").alias("n_samples"),
+    )
+
+
+SQL_CORR_SPEARMAN = """
+WITH ranked AS (
+  SELECT l_returnflag,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_quantity, l_orderkey, l_linenumber) AS rx,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS ry
+  FROM lineitem
+)
+SELECT l_returnflag,
+       ROUND(CORR(rx, ry), 6) AS rho_spearman,
+       COUNT(*)::BIGINT AS n_samples
+FROM ranked GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------- #
+# J5: grouped self-pairing — all supplier pairs' correlation over
+# per-order quantity vectors, the relational form of the reference's
+# blocked upper-triangle loop (etl/correlate.py:66-113)
+# --------------------------------------------------------------------- #
+MIN_PAIR_N = 10
+
+
+def supplier_order_matrix(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey", "l_orderkey").agg(
+        F.sum("l_quantity").alias("v")
+    )
+
+
+def q_pairwise_corr(spark, sf_dir):
+    m = supplier_order_matrix(spark, sf_dir)
+    a = m.select(
+        F.col("l_suppkey").alias("supp_a"), F.col("l_orderkey").alias("ok"), F.col("v").alias("va")
+    )
+    b = m.select(
+        F.col("l_suppkey").alias("supp_b"), F.col("l_orderkey").alias("ok"), F.col("v").alias("vb")
+    )
+    pairs = a.join(b, "ok").where(F.col("supp_a") < F.col("supp_b"))
+    return (
+        pairs.groupBy("supp_a", "supp_b")
+        .agg(
+            F.round(F.corr("va", "vb"), 6).alias("rho"),
+            F.count(F.lit(1)).cast("long").alias("n_samples"),
+        )
+        .where(F.col("n_samples") >= MIN_PAIR_N)
+    )
+
+
+SQL_PAIRWISE_CORR = f"""
+WITH m AS (
+  SELECT l_suppkey, l_orderkey, SUM(l_quantity) AS v
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b,
+       ROUND(CORR(a.v, b.v), 6) AS rho,
+       COUNT(*)::BIGINT AS n_samples
+FROM m a JOIN m b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+GROUP BY 1, 2
+HAVING COUNT(*) >= {MIN_PAIR_N}
+"""
+
+
+QUERIES = {
+    "scan_whitelist": q_scan_whitelist,
+    "semijoin": q_semijoin,
+    "two_alias_join": q_two_alias_join,
+    "dim_join": q_dim_join,
+    "expression_proportion": q_expression_proportion,
+    "variance_topn": q_variance_topn,
+    "iqr": q_iqr,
+    "mad": q_mad,
+    "distinct": q_distinct,
+    "count_distinct": q_count_distinct,
+    "multi_agg_case": q_multi_agg_case,
+    "case_banding": q_case_banding,
+    "global_stats": q_global_stats,
+    "rank_page": q_rank_page,
+    "lww_latest_event": q_lww_latest_event,
+    "canonical_pairs": q_canonical_pairs,
+    "anti_join": q_anti_join,
+    "pivot": q_pivot,
+    "bh_fdr": q_bh_fdr,
+    "corr_pearson": q_corr_pearson,
+    "corr_spearman": q_corr_spearman,
+    "pairwise_corr": q_pairwise_corr,
+}
+
+ORACLES = {
+    "scan_whitelist": SQL_SCAN_WHITELIST,
+    "semijoin": SQL_SEMIJOIN,
+    "two_alias_join": SQL_TWO_ALIAS_JOIN,
+    "dim_join": SQL_DIM_JOIN,
+    "expression_proportion": SQL_EXPRESSION_PROPORTION,
+    "variance_topn": SQL_VARIANCE_TOPN,
+    "iqr": SQL_IQR,
+    "mad": SQL_MAD,
+    "distinct": SQL_DISTINCT,
+    "count_distinct": SQL_COUNT_DISTINCT,
+    "multi_agg_case": SQL_MULTI_AGG_CASE,
+    "case_banding": SQL_CASE_BANDING,
+    "global_stats": SQL_GLOBAL_STATS,
+    "rank_page": SQL_RANK_PAGE,
+    "lww_latest_event": SQL_LWW_LATEST_EVENT,
+    "canonical_pairs": SQL_CANONICAL_PAIRS,
+    "anti_join": SQL_ANTI_JOIN,
+    "pivot": SQL_PIVOT,
+    "bh_fdr": SQL_BH_FDR,
+    "corr_pearson": SQL_CORR_PEARSON,
+    "corr_spearman": SQL_CORR_SPEARMAN,
+    "pairwise_corr": SQL_PAIRWISE_CORR,
+}

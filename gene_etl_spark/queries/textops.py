@@ -1,0 +1,643 @@
+"""Training-data pipeline operators over `documents` and `embeddings`:
+dedup family (exact / n-gram Jaccard / MinHash+LSH / SimHash /
+embedding-cosine), similarity search (brute-force + IVF-pruned ANN),
+text analysis (language-ID, quality scoring, token counting,
+fingerprinting), and the multimodal decode stub.
+
+Everything except the multimodal mapInPandas stub is pure JVM column
+expressions; every query has a DuckDB oracle built from the same
+constants (queries/common.py), so values — not just row counts — are
+gated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gene_etl_spark.functions import md5_long
+from gene_etl_spark.queries.common import (
+    ANN_K,
+    BAND_SIZE,
+    BPE_ISH_PATTERN,
+    IVF_K,
+    JACCARD_THRESHOLD,
+    LANG_MARKERS,
+    LANG_PRIORITY,
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
+    NUM_HASHES,
+    SIMHASH_BITS,
+    STOPWORDS,
+    TOKEN_P,
+    TOPK_PAIRS,
+)
+
+NUM_BANDS = NUM_HASHES // BAND_SIZE
+
+
+# --------------------------------------------------------------------- #
+# shared building blocks (Spark side + the SQL CTE that mirrors them)
+# --------------------------------------------------------------------- #
+def docs_norm(spark, sf_dir) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    return d.select("doc_id", "lang", "text", norm.alias("norm"))
+
+
+SQL_DOCS_NORM = r"""
+docs_norm AS (
+  SELECT doc_id, lang, text,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM documents
+)
+"""
+
+
+def tokens_col():
+    """array<string> of single-space tokens over `norm` (parity with
+    DuckDB string_split on the collapsed text)."""
+    return F.split(F.col("norm"), " ")
+
+
+def doc_shingles(spark, sf_dir) -> DataFrame:
+    """Distinct 2-word shingles per doc (docs with <2 tokens yield none)."""
+    toks = tokens_col()
+    n = F.size(toks)
+    sh = F.transform(
+        F.sequence(F.lit(1), n - F.lit(1)),
+        lambda i: F.concat(
+            F.element_at(toks, i.cast("int")),
+            F.lit(" "),
+            F.element_at(toks, (i + F.lit(1)).cast("int")),
+        ),
+    )
+    return (
+        docs_norm(spark, sf_dir)
+        .where(n >= 2)
+        .select("doc_id", F.explode(F.array_distinct(sh)).alias("sh"))
+    )
+
+
+SQL_SHINGLES = (
+    SQL_DOCS_NORM
+    + """,
+arrs AS (
+  SELECT doc_id, string_split(norm, ' ') AS arr FROM docs_norm
+),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(arr)), i -> arr[i] || ' ' || arr[i+1])) AS sh
+  FROM arrs WHERE len(arr) >= 2
+)
+"""
+)
+
+
+# --------------------------------------------------------------------- #
+# exact dedup + fingerprinting (hash-groupBy; reference analogue of
+# key-canonicalized idempotent dedup, etl/persist.py:114-117)
+# --------------------------------------------------------------------- #
+def q_dedup_exact(spark, sf_dir):
+    d = docs_norm(spark, sf_dir).withColumn("fingerprint", md5_long("norm"))
+    return d.groupBy("fingerprint").agg(
+        F.min("doc_id").cast("long").alias("representative_doc"),
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+    )
+
+
+SQL_DEDUP_EXACT = (
+    "WITH "
+    + SQL_DOCS_NORM.strip()
+    + """
+SELECT ('0x' || substr(md5(norm), 1, 15))::BIGINT AS fingerprint,
+       MIN(doc_id)::BIGINT AS representative_doc,
+       COUNT(*)::BIGINT AS n_copies
+FROM docs_norm GROUP BY 1
+"""
+)
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    d = docs_norm(spark, sf_dir).withColumn("fingerprint", md5_long("norm"))
+    w = Window.partitionBy("fingerprint")
+    return d.select(
+        "doc_id",
+        "fingerprint",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_dupes"),
+    )
+
+
+SQL_DOC_FINGERPRINT = (
+    "WITH "
+    + SQL_DOCS_NORM.strip()
+    + """
+SELECT doc_id,
+       ('0x' || substr(md5(norm), 1, 15))::BIGINT AS fingerprint,
+       COUNT(*) OVER (PARTITION BY ('0x' || substr(md5(norm), 1, 15))::BIGINT)::BIGINT AS n_dupes
+FROM docs_norm
+"""
+)
+
+
+# --------------------------------------------------------------------- #
+# n-gram Jaccard near-dup pairs: shingle-explode → shared-shingle join →
+# |A∩B| / (|A|+|B|-|A∩B|)
+# --------------------------------------------------------------------- #
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    s = doc_shingles(spark, sf_dir)
+    cnt = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
+    a = s.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = s.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("ns").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("ns").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(F.broadcast(ca), "doc_a")
+        .join(F.broadcast(cb), "doc_b")
+        .where(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+SQL_DEDUP_NGRAM_JACCARD = (
+    "WITH "
+    + SQL_SHINGLES.strip()
+    + f""",
+cnt AS (SELECT doc_id, COUNT(*) AS ns FROM shingles GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(inter::DOUBLE / (ca.ns + cb.ns - inter), 6) AS jaccard
+FROM pairs
+JOIN cnt ca ON doc_a = ca.doc_id
+JOIN cnt cb ON doc_b = cb.doc_id
+WHERE inter::DOUBLE / (ca.ns + cb.ns - inter) >= {JACCARD_THRESHOLD}
+"""
+)
+
+
+# --------------------------------------------------------------------- #
+# MinHash signatures + LSH banding (shingle→minhash→band→bucket-join)
+# --------------------------------------------------------------------- #
+def _minhash_agg_cols():
+    hs = F.pmod(md5_long("sh"), F.lit(TOKEN_P))
+    return [
+        F.min(F.pmod(F.lit(MINHASH_A[i]) * hs + F.lit(MINHASH_B[i]), F.lit(MINHASH_P)))
+        .cast("long")
+        .alias(f"mh{i}")
+        for i in range(NUM_HASHES)
+    ]
+
+
+def minhash_signatures(spark, sf_dir) -> DataFrame:
+    return doc_shingles(spark, sf_dir).groupBy("doc_id").agg(*_minhash_agg_cols())
+
+
+def q_dedup_minhash(spark, sf_dir):
+    return minhash_signatures(spark, sf_dir)
+
+
+def _sql_minhash_sig() -> str:
+    hs = f"(('0x' || substr(md5(sh), 1, 15))::BIGINT % {TOKEN_P})"
+    mins = ",\n       ".join(
+        f"MIN(({MINHASH_A[i]} * {hs} + {MINHASH_B[i]}) % {MINHASH_P})::BIGINT AS mh{i}"
+        for i in range(NUM_HASHES)
+    )
+    return (
+        SQL_SHINGLES.strip()
+        + f""",
+sig AS (
+  SELECT doc_id,
+       {mins}
+  FROM shingles GROUP BY doc_id
+)
+"""
+    )
+
+
+SQL_DEDUP_MINHASH = "WITH " + _sql_minhash_sig() + "\nSELECT * FROM sig\n"
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """LSH candidate pairs: docs sharing any band bucket."""
+    sig = minhash_signatures(spark, sf_dir)
+    bands = []
+    for band in range(NUM_BANDS):
+        cols = [
+            F.col(f"mh{i}").cast("string")
+            for i in range(band * BAND_SIZE, (band + 1) * BAND_SIZE)
+        ]
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(band).alias("band"),
+                md5_long(F.concat_ws("_", *cols)).alias("bucket"),
+            )
+        )
+    buckets = bands[0]
+    for b in bands[1:]:
+        buckets = buckets.unionByName(b)
+    a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    b2 = buckets.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    return (
+        a.join(b2, ["band", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def _sql_lsh() -> str:
+    band_selects = []
+    for band in range(NUM_BANDS):
+        concat = " || '_' || ".join(
+            f"mh{i}::VARCHAR" for i in range(band * BAND_SIZE, (band + 1) * BAND_SIZE)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {band} AS band, "
+            f"('0x' || substr(md5({concat}), 1, 15))::BIGINT AS bucket FROM sig"
+        )
+    return (
+        "WITH "
+        + _sql_minhash_sig()
+        + ",\nbuckets AS (\n  "
+        + "\n  UNION ALL\n  ".join(band_selects)
+        + """
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM buckets a JOIN buckets b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+    )
+
+
+SQL_DEDUP_MINHASH_LSH = _sql_lsh()
+
+
+# --------------------------------------------------------------------- #
+# SimHash: 16-bit signature from token-hash bit votes (with multiplicity)
+# --------------------------------------------------------------------- #
+def simhash_signatures(spark, sf_dir) -> DataFrame:
+    toks = docs_norm(spark, sf_dir).select(
+        "doc_id", F.explode(tokens_col()).alias("tok")
+    )
+    hs = md5_long("tok")
+    votes = [
+        F.sum(
+            F.when(F.shiftright(hs, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else (sim + term)
+    return agg.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return simhash_signatures(spark, sf_dir)
+
+
+def _sql_simhash_sig() -> str:
+    hs = "('0x' || substr(md5(tok), 1, 15))::BIGINT"
+    votes = ",\n       ".join(
+        f"SUM(CASE WHEN ({hs} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+    )
+    return (
+        SQL_DOCS_NORM.strip()
+        + f""",
+toks AS (
+  SELECT doc_id, unnest(string_split(norm, ' ')) AS tok FROM docs_norm
+),
+votes AS (
+  SELECT doc_id,
+       {votes}
+  FROM toks GROUP BY doc_id
+),
+simhash_sig AS (
+  SELECT doc_id, ({sim})::BIGINT AS simhash FROM votes
+)
+"""
+    )
+
+
+SQL_DEDUP_SIMHASH = "WITH " + _sql_simhash_sig() + "\nSELECT doc_id, simhash FROM simhash_sig\n"
+
+
+def q_simhash_near_pairs(spark, sf_dir):
+    sig = simhash_signatures(spark, sf_dir)
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .where(ham <= 3)
+        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+    )
+
+
+SQL_SIMHASH_NEAR_PAIRS = (
+    "WITH "
+    + _sql_simhash_sig()
+    + """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM simhash_sig a JOIN simhash_sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+)
+
+
+# --------------------------------------------------------------------- #
+# embedding similarity: brute-force cosine top-k pairs, ANN top-k for a
+# query vector, and the IVF-pruned scale path (search one coarse cell)
+# --------------------------------------------------------------------- #
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _cos(a, b):
+    from gene_etl_spark.functions import cosine_sim
+
+    return cosine_sim(a, b)
+
+
+def q_embedding_topk_pairs(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    c = F.round(_cos(F.col("ea"), F.col("eb")), 5)
+    return (
+        pairs.select("vec_a", "vec_b", c.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b"))
+        .limit(TOPK_PAIRS)
+    )
+
+
+SQL_EMBEDDING_TOPK_PAIRS = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_cosine_similarity(a.emb, b.emb), 5) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+ORDER BY cosine DESC, vec_a ASC, vec_b ASC
+LIMIT {TOPK_PAIRS}
+"""
+
+
+def q_ann_topk(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    q = e.orderBy("vec_id").limit(1).select(F.col("embedding").alias("qe"))
+    c = F.round(_cos(F.col("embedding"), F.col("qe")), 5)
+    return (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != 0)
+        .select("vec_id", "label", c.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(ANN_K)
+    )
+
+
+SQL_ANN_TOPK = f"""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings
+), q AS (
+  SELECT emb AS qe FROM e ORDER BY vec_id LIMIT 1
+)
+SELECT vec_id, label, ROUND(list_cosine_similarity(emb, qe), 5) AS cosine
+FROM e, q WHERE vec_id != 0
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {ANN_K}
+"""
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF-style pruned ANN: probe only the query's coarse cell (`label`
+    stands in for the coarse quantizer assignment), scanning ~1/K of the
+    corpus — the partition-pruned scale path."""
+    e = _emb(spark, sf_dir)
+    q = e.orderBy("vec_id").limit(1).select(
+        F.col("embedding").alias("qe"), F.col("label").alias("qlabel")
+    )
+    c = F.round(_cos(F.col("embedding"), F.col("qe")), 5)
+    return (
+        e.crossJoin(F.broadcast(q))
+        .where((F.col("label") == F.col("qlabel")) & (F.col("vec_id") != 0))
+        .select("vec_id", c.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(IVF_K)
+    )
+
+
+SQL_ANN_IVF = f"""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings
+), q AS (
+  SELECT emb AS qe, label AS qlabel FROM e ORDER BY vec_id LIMIT 1
+)
+SELECT vec_id, ROUND(list_cosine_similarity(emb, qe), 5) AS cosine
+FROM e, q WHERE label = qlabel AND vec_id != 0
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {IVF_K}
+"""
+
+
+# --------------------------------------------------------------------- #
+# language-ID: marker-word scores with deterministic argmax priority
+# --------------------------------------------------------------------- #
+def q_lang_id(spark, sf_dir):
+    d = docs_norm(spark, sf_dir).withColumn("toks", tokens_col())
+    out = d
+    for lang in LANG_PRIORITY:
+        markers = LANG_MARKERS[lang]
+        out = out.withColumn(
+            f"s_{lang}",
+            F.size(F.filter("toks", lambda t: t.isin(markers))).cast("long"),
+        )
+    pred = None
+    scores = [F.col(f"s_{lang}") for lang in LANG_PRIORITY]
+    for i, lang in enumerate(LANG_PRIORITY):
+        cond = None
+        for j in range(len(LANG_PRIORITY)):
+            if j == i:
+                continue
+            c = scores[i] >= scores[j] if j > i else scores[i] > scores[j]
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    pred = pred.otherwise(LANG_PRIORITY[0])
+    return out.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("predicted_lang"),
+        *[F.col(f"s_{lang}") for lang in LANG_PRIORITY],
+    )
+
+
+def _sql_lang_id() -> str:
+    score_exprs = ",\n       ".join(
+        "len(list_filter(string_split(norm, ' '), t -> t IN ({})))::BIGINT AS s_{}".format(
+            ", ".join(f"'{w}'" for w in LANG_MARKERS[lang]), lang
+        )
+        for lang in LANG_PRIORITY
+    )
+    cases = []
+    for i, lang in enumerate(LANG_PRIORITY):
+        conds = []
+        for j, other in enumerate(LANG_PRIORITY):
+            if j == i:
+                continue
+            op = ">=" if j > i else ">"
+            conds.append(f"s_{lang} {op} s_{other}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + f" ELSE '{LANG_PRIORITY[0]}' END"
+    return (
+        "WITH "
+        + SQL_DOCS_NORM.strip()
+        + f""",
+scored AS (
+  SELECT doc_id, lang AS labeled_lang,
+       {score_exprs}
+  FROM docs_norm
+)
+SELECT doc_id, labeled_lang, {case_sql} AS predicted_lang,
+       {', '.join(f's_{lang}' for lang in LANG_PRIORITY)}
+FROM scored
+"""
+    )
+
+
+SQL_LANG_ID = _sql_lang_id()
+
+
+# --------------------------------------------------------------------- #
+# quality scoring: length/punct/stopword ratios → bounded linear score
+# --------------------------------------------------------------------- #
+def q_text_quality(spark, sf_dir):
+    d = docs_norm(spark, sf_dir).withColumn("toks", tokens_col())
+    n_tokens = F.size("toks").cast("long")
+    n_chars = F.length("text").cast("long")
+    punct = (F.length("text") - F.length(F.regexp_replace("text", r"[.!?,;:]", ""))).cast("long")
+    stop_hits = F.size(F.filter("toks", lambda t: t.isin(STOPWORDS))).cast("long")
+    punct_ratio = F.round(punct / n_chars, 6)
+    stop_ratio = F.round(stop_hits / n_tokens, 6)
+    quality = F.round(
+        F.least(F.lit(1.0), n_tokens * 0.002) * (1 - punct / n_chars), 6
+    )
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        punct.alias("n_punct"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+SQL_TEXT_QUALITY = (
+    "WITH "
+    + SQL_DOCS_NORM.strip()
+    + f""",
+base AS (
+  SELECT doc_id,
+         length(text)::BIGINT AS n_chars,
+         len(string_split(norm, ' '))::BIGINT AS n_tokens,
+         (length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')))::BIGINT AS n_punct,
+         len(list_filter(string_split(norm, ' '),
+             t -> t IN ({', '.join(f"'{w}'" for w in STOPWORDS)})))::BIGINT AS stop_hits
+  FROM docs_norm
+)
+SELECT doc_id, n_chars, n_tokens, n_punct,
+       ROUND(n_punct / n_chars::DOUBLE, 6) AS punct_ratio,
+       ROUND(stop_hits / n_tokens::DOUBLE, 6) AS stopword_ratio,
+       ROUND(LEAST(1.0, n_tokens * 0.002) * (1 - n_punct / n_chars::DOUBLE), 6) AS quality_score
+FROM base
+"""
+)
+
+
+# --------------------------------------------------------------------- #
+# token counting: whitespace + BPE-ish regex, rolled up per language
+# --------------------------------------------------------------------- #
+def q_token_stats(spark, sf_dir):
+    d = docs_norm(spark, sf_dir)
+    ws = F.size(tokens_col()).cast("long")
+    bpe = F.size(F.regexp_extract_all("norm", F.lit(BPE_ISH_PATTERN), 0)).cast("long")
+    per_doc = d.select("lang", ws.alias("ws_tokens"), bpe.alias("bpe_tokens"))
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ws_tokens").cast("long").alias("total_ws_tokens"),
+        F.sum("bpe_tokens").cast("long").alias("total_bpe_tokens"),
+        F.round(F.avg("ws_tokens"), 6).alias("avg_ws_tokens"),
+    )
+
+
+SQL_TOKEN_STATS = (
+    "WITH "
+    + SQL_DOCS_NORM.strip()
+    + f""",
+per_doc AS (
+  SELECT lang,
+         len(string_split(norm, ' '))::BIGINT AS ws_tokens,
+         len(regexp_extract_all(norm, '{BPE_ISH_PATTERN}'))::BIGINT AS bpe_tokens
+  FROM docs_norm
+)
+SELECT lang, COUNT(*)::BIGINT AS n_docs,
+       SUM(ws_tokens)::BIGINT AS total_ws_tokens,
+       SUM(bpe_tokens)::BIGINT AS total_bpe_tokens,
+       ROUND(AVG(ws_tokens), 6) AS avg_ws_tokens
+FROM per_doc GROUP BY 1
+"""
+)
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "simhash_near_pairs": q_simhash_near_pairs,
+    "embedding_topk_pairs": q_embedding_topk_pairs,
+    "ann_topk": q_ann_topk,
+    "ann_ivf": q_ann_ivf,
+    "lang_id": q_lang_id,
+    "text_quality": q_text_quality,
+    "token_stats": q_token_stats,
+}
+
+ORACLES = {
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "dedup_minhash": SQL_DEDUP_MINHASH,
+    "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "simhash_near_pairs": SQL_SIMHASH_NEAR_PAIRS,
+    "embedding_topk_pairs": SQL_EMBEDDING_TOPK_PAIRS,
+    "ann_topk": SQL_ANN_TOPK,
+    "ann_ivf": SQL_ANN_IVF,
+    "lang_id": SQL_LANG_ID,
+    "text_quality": SQL_TEXT_QUALITY,
+    "token_stats": SQL_TOKEN_STATS,
+}
