@@ -1,0 +1,122 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] plus one CDC
+apply-throughput measurement (binlog tail → lake MERGE upsert on a
+deterministically generated change stream), and prints ONE JSON line:
+
+    {"metric": "cdc_apply_events_per_sec", "value": N, "unit": "events/sec",
+     "queries": {"q1": sec, ...}, "sf": ...}
+
+Per-query timings force full materialization through the noop sink so
+column pruning can't skip the measured work.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "two_alias_join",
+    "semijoin",
+    "expression_proportion",
+    "variance_topn",
+    "multi_agg_case",
+    "lww_latest_event",
+    "bh_fdr",
+    "pairwise_corr",
+    "dedup_minhash_lsh",  # the scale path; exact all-pairs jaccard is
+    "dedup_exact",        # correctness-gated at sf0.01 but inherently
+    "simhash_near_pairs",  # quadratic, so not a headline number
+    "embedding_topk_pairs",
+    "ann_topk",
+    "lang_id",
+    "token_stats",
+]
+
+# CDC bench stream parameters (deterministic; generated once per /tmp)
+CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "4000000"))
+CDC_CONVS = int(os.environ.get("BENCH_CDC_CONVS", "40000"))
+CDC_SLICES = int(os.environ.get("BENCH_CDC_SLICES", "4"))
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_cdc_apply(cores: int) -> dict:
+    """events/sec through the full engine, in its own JVM so the CDC run
+    picks its efficient thread count independently of the query session
+    (this box's JVM throughput peaks near 8 task threads — see
+    BENCH/BASELINE.md "Context"; a real cluster sizes executors instead)."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    cdc_cores = min(cores, int(os.environ.get("BENCH_CDC_CORES", "8")))
+    out = subprocess.run(
+        [
+            _sys.executable,
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_cdc.py"),
+            "--cores", str(cdc_cores),
+            "--events", str(CDC_EVENTS),
+            "--convs", str(CDC_CONVS),
+            "--slices", str(CDC_SLICES),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=3000,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    r = _json.loads(line)
+    return {
+        "events": r["events"],
+        "cores": r["cores"],
+        "wall_sec": r["wall_sec"],
+        "events_per_sec": r["steady_state_events_per_sec"],
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
+
+    from gene_etl_spark.queries import all_queries
+    from gene_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", cores=cores, shuffle_partitions=cores)
+    queries, _ = all_queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        # warm the input file listing/footers so we time compute, not first-touch
+        df = fn(spark, sf_dir)
+        t0 = time.time()
+        materialize(df)
+        timings[name] = round(time.time() - t0, 3)
+
+    cdc = bench_cdc_apply(cores)
+    timings["cdc_apply"] = cdc["wall_sec"]
+
+    out = {
+        "metric": "cdc_apply_events_per_sec",
+        "value": cdc["events_per_sec"],
+        "unit": "events/sec",
+        "queries": timings,
+        "sf": sf,
+        "cores": cores,
+        "cdc_events": cdc["events"],
+        "headline_total_sec": round(sum(timings.values()), 3),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+"""CDC apply-throughput measurement at one parallelism level.
+
+One process = one JVM = one `local[N]`; the scaling harness
+(tools/run_scaling.py) launches this twice (N and 4N cores) on the SAME
+generated input and computes scaling efficiency per BASELINE.md.
+
+Usage:
+    python bench_cdc.py --cores 8 --events 2000000 [--json out.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, required=True)
+    ap.add_argument("--events", type=int, default=2_000_000)
+    ap.add_argument("--convs", type=int, default=20_000)
+    ap.add_argument("--slices", type=int, default=8)
+    ap.add_argument("--num-buckets", type=int, default=64)
+    ap.add_argument("--num-salts", type=int, default=8)
+    ap.add_argument("--stream-dir", default=None)
+    ap.add_argument("--json", dest="json_out", default=None)
+    args = ap.parse_args()
+
+    from gene_etl_spark.config import IngestConfig
+    from gene_etl_spark.runner import CdcIngestRunner
+    from gene_etl_spark.session import get_spark
+    from gene_etl_spark.sources.simulate import generate_change_stream
+
+    stream_dir = args.stream_dir or f"/tmp/bench_cdc_stream_{args.events}_{args.convs}"
+    if not os.path.isdir(stream_dir):
+        generate_change_stream(
+            stream_dir,
+            n_convs=args.convs,
+            max_turns=40,
+            n_events=args.events,
+            seed=42,
+            n_tranches=16,
+        )
+
+    spark = get_spark(
+        app_name=f"bench-cdc-{args.cores}",
+        cores=args.cores,
+        shuffle_partitions=args.cores,
+    )
+    base = f"/tmp/bench_cdc_run_c{args.cores}_{os.getpid()}"
+    shutil.rmtree(base, ignore_errors=True)
+    cfg = IngestConfig(
+        lake_path=os.path.join(base, "lake"),
+        events_path=stream_dir,
+        ledger_path=os.path.join(base, "ledger"),
+        metrics_path=os.path.join(base, "metrics"),
+        validation_path=os.path.join(base, "validation"),
+        num_buckets=args.num_buckets,
+        slice_lsn_width=max(1, args.events // args.slices),
+        num_salts=args.num_salts,
+        shuffle_partitions=args.cores,
+    )
+    runner = CdcIngestRunner(spark, cfg)
+    summary = runner.run()
+    final_rows = runner.table.manifest["summary"]["total_rows"]
+    shutil.rmtree(base, ignore_errors=True)
+
+    # steady-state: exclude the first two batches (JVM/JIT/whole-stage-
+    # codegen warmup), per BASELINE.md "steady-state apply work"
+    batches = [b for b in summary["batches"] if not b.get("skipped")]
+    ss = batches[2:] if len(batches) > 2 else batches
+    ss_events = sum(b["events_read"] for b in ss)
+    ss_wall = sum(b["wall_ms"] for b in ss) / 1000.0
+
+    out = {
+        "cores": args.cores,
+        "events": summary["events_read"],
+        "n_batches": summary["n_batches"],
+        "wall_sec": round(summary["wall_sec"], 3),
+        "events_per_sec": round(summary["events_per_sec"], 1),
+        "steady_state_events_per_sec": round(ss_events / ss_wall, 1) if ss_wall else 0.0,
+        "steady_state_batches": len(ss),
+        "final_rows": final_rows,
+    }
+    print(json.dumps(out))
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(out, f)
+
+
+if __name__ == "__main__":
+    main()

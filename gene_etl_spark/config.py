@@ -34,7 +34,11 @@ class IngestConfig:
     max_batches: int | None = None
 
     # --- skew handling -------------------------------------------------------
-    num_salts: int = 8          # two-phase LWW dedup salt fan-out
+    # "agg": max_by hash aggregation — map-side combine neutralizes hot
+    #        keys before the shuffle (the scale default).
+    # "salted_window": two-phase salted row_number dedup.
+    dedup_strategy: str = "agg"
+    num_salts: int = 8          # salted_window fan-out
     salt_threshold: int = 50_000  # only salt when slice rows/partition may skew
 
     # --- validation gates (reference: etl/validate.py:33-137) ---------------

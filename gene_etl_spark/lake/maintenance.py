@@ -1,0 +1,131 @@
+"""Lake table maintenance: time travel, compaction, snapshot expiry,
+orphan-file vacuum.
+
+The Iceberg-maintenance analogues for the engine's own table format:
+long-running CDC ingest accumulates one commit directory per batch, so
+compaction rewrites fragmented buckets into single files and vacuum
+reclaims data files no live (unexpired) snapshot references.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gene_etl_spark.lake.merge import BUCKET_COL
+from gene_etl_spark.lake.table import DATA_DIR, MANIFEST_DIR, LakeTable
+
+
+def read_at_version(table: LakeTable, version: int) -> DataFrame:
+    """Time-travel scan of snapshot ``version``."""
+    m = table._read_manifest(version)
+    phys = table._physical_schema(m)
+    files = [
+        os.path.join(table.path, rel)
+        for rels in m["files"].values()
+        for rel in rels
+    ]
+    if not files:
+        return table.spark.createDataFrame([], phys).drop("_lsn")
+    return (
+        table.spark.read.schema(phys)
+        .option("recursiveFileLookup", "true")
+        .parquet(*files)
+        .drop("_lsn")
+    )
+
+
+def compact(table: LakeTable, max_files_per_bucket: int = 1) -> dict:
+    """Rewrite buckets whose file count exceeds the target into fresh
+    single-pass files; commits a new snapshot (a no-data-change commit:
+    row content identical, layout consolidated)."""
+    manifest = table.manifest
+    fragmented = [
+        int(b) for b, files in manifest["files"].items()
+        if len(files) > max_files_per_bucket
+    ]
+    if not fragmented:
+        return {"compacted_buckets": 0, "snapshot_version": manifest["version"]}
+
+    df = table.read(buckets=fragmented, include_meta=True).withColumn(
+        BUCKET_COL, table.bucket_expr()
+    )
+    version = manifest["version"] + 1
+    rel_commit = table._new_commit_dir(version)
+    abs_commit = os.path.join(table.path, rel_commit)
+    (
+        # hash on bucket alone: every row of a bucket lands in exactly one
+        # task, so compaction yields exactly one file per bucket
+        df.repartition(max(len(fragmented), 1), F.col(BUCKET_COL))
+        .write.partitionBy(BUCKET_COL)
+        .mode("overwrite")
+        .parquet(abs_commit)
+    )
+    new_files = dict(manifest["files"])
+    bucket_files = table._list_bucket_files(abs_commit, rel_commit)
+    for b in fragmented:
+        new_files[str(b)] = bucket_files.get(str(b), [])
+    new_manifest = {
+        **manifest,
+        "version": version,
+        "parent": manifest["version"],
+        "files": new_files,
+        "properties": {},
+        "summary": {
+            "operation": "compact",
+            "total_rows": manifest["summary"].get("total_rows"),
+            "compacted_buckets": fragmented,
+        },
+        "committed_at_ms": int(time.time() * 1000),
+    }
+    table._write_manifest(new_manifest)
+    return {"compacted_buckets": len(fragmented), "snapshot_version": version}
+
+
+def expire_snapshots(table: LakeTable, keep_last: int = 10) -> dict:
+    """Mark old snapshots expired (manifests renamed to .expired.json so
+    fencing history is preserved but time travel to them is closed)."""
+    current = table.version
+    cutoff = current - keep_last
+    expired = 0
+    for v in range(cutoff + 1):
+        p = table._manifest_path(v)
+        if os.path.exists(p):
+            os.rename(p, p.replace(".json", ".expired.json"))
+            expired += 1
+    return {"expired": expired, "kept_from": max(cutoff + 1, 0)}
+
+
+def vacuum(table: LakeTable, dry_run: bool = False) -> dict:
+    """Delete data files not referenced by any live (or expired-but-kept)
+    manifest — failed/uncommitted writes and superseded bucket rewrites."""
+    live: set[str] = set()
+    mdir = os.path.join(table.path, MANIFEST_DIR)
+    for fn in os.listdir(mdir):
+        if not fn.endswith(".json"):
+            continue
+        with open(os.path.join(mdir, fn)) as f:
+            m = json.load(f)
+        if fn.endswith(".expired.json"):
+            continue  # expired snapshots no longer pin files
+        for rels in m.get("files", {}).values():
+            live.update(rels)
+    removed = 0
+    ddir = os.path.join(table.path, DATA_DIR)
+    for root, _dirs, files in os.walk(ddir):
+        for fn in files:
+            full = os.path.join(root, fn)
+            rel = os.path.relpath(full, table.path)
+            if rel not in live:
+                removed += 1
+                if not dry_run:
+                    os.unlink(full)
+    if not dry_run:  # drop empty dirs
+        for root, dirs, files in list(os.walk(ddir, topdown=False)):
+            if not dirs and not files and root != ddir:
+                os.rmdir(root)
+    return {"removed_files": removed, "live_files": len(live)}

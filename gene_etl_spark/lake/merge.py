@@ -42,6 +42,26 @@ from pyspark.storagelevel import StorageLevel
 BUCKET_COL = "bucket_id"
 
 
+def _counters_agg(merged: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Per-partition lineage counters + output-key uniqueness in one pass
+    over the cached join output. The full_outer join hash-partitions by
+    the key, so per-partition countDistinct sums to the exact global
+    distinct — the post-validation uniqueness check costs no extra scan."""
+    survivor = ~F.col("__action").isin("delete", "noop")
+    key0, key_rest = key_cols[0], key_cols[1:]
+    return merged.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+        F.sum((F.col("__action") == "insert").cast("long")).alias("inserts"),
+        F.sum((F.col("__action") == "update").cast("long")).alias("updates"),
+        F.sum((F.col("__action") == "delete").cast("long")).alias("deletes"),
+        F.sum(F.col("__action").isin("noop", "stale").cast("long")).alias("noops"),
+        F.sum(survivor.cast("long")).alias("n_out"),
+        F.countDistinct(
+            F.when(survivor, F.col(key0)),
+            *[F.when(survivor, F.col(k)) for k in key_rest],
+        ).alias("n_out_keys"),
+    )
+
+
 @dataclass
 class MergeResult:
     snapshot_version: int
@@ -51,8 +71,11 @@ class MergeResult:
     deletes: int = 0
     noops: int = 0  # deletes of absent keys + stale (LWW-lost) events
     total_rows: int = 0
+    output_rows: int = 0  # rows written for the touched buckets
+    output_keys: int = 0  # distinct keys among them (uniqueness invariant)
     wall_ms: int = 0
     partition_counters: list[dict] = field(default_factory=list)
+    timings: dict = field(default_factory=dict)
 
 
 def merge_into(
@@ -93,9 +116,12 @@ def merge_into(
     payload_cols = [f.name for f in evolved_schema.fields]
 
     # ---- bucket the update slice; prune the target scan -----------------
+    timings: dict[str, float] = {}
+    tp = time.time()
     upd = updates.withColumn(BUCKET_COL, table.bucket_expr())
     upd = upd.persist(StorageLevel.MEMORY_AND_DISK)
     touched = sorted(r[0] for r in upd.select(BUCKET_COL).distinct().collect())
+    timings["dedup_buckets_sec"] = round(time.time() - tp, 3)
 
     target = table.read(buckets=touched, include_meta=True)
     # align target to the evolved schema (old rows read nulls for new cols)
@@ -167,28 +193,26 @@ def merge_into(
         .drop("__action")
         .withColumn(BUCKET_COL, table.bucket_expr())
     )
+    # Range-partition on (bucket, key): each write task covers a contiguous
+    # bucket range, so file count stays ~O(tasks + buckets) instead of
+    # O(tasks × buckets), while hot buckets still span multiple tasks.
+    # (At cluster scale pair with spark.sql.files.maxRecordsPerFile to cap
+    # individual file size.)
     shuffle_n = max(
         len(touched), int(table.spark.conf.get("spark.sql.shuffle.partitions", "32"))
     )
+    tp = time.time()
     (
-        survivors.repartition(shuffle_n, F.col(BUCKET_COL), F.col(key_cols[0]))
+        survivors.repartitionByRange(shuffle_n, F.col(BUCKET_COL), F.col(key_cols[0]))
         .write.partitionBy(BUCKET_COL)
         .mode("overwrite")
         .parquet(abs_commit)
     )
+    timings["rewrite_sec"] = round(time.time() - tp, 3)
+    tp = time.time()
 
-    # ---- per-partition lineage counters (same joined plan, one pass) ----
-    counters = (
-        merged.where(F.col("__action") != "keep")
-        .groupBy(F.spark_partition_id().alias("partition_id"))
-        .agg(
-            F.sum((F.col("__action") == "insert").cast("long")).alias("inserts"),
-            F.sum((F.col("__action") == "update").cast("long")).alias("updates"),
-            F.sum((F.col("__action") == "delete").cast("long")).alias("deletes"),
-            F.sum(F.col("__action").isin("noop", "stale").cast("long")).alias("noops"),
-        )
-        .collect()
-    )
+    counters = _counters_agg(merged, key_cols).collect()
+    timings["counters_sec"] = round(time.time() - tp, 3)
     merged.unpersist()
     upd.unpersist()
 
@@ -206,6 +230,8 @@ def merge_into(
         res.updates += d["updates"] or 0
         res.deletes += d["deletes"] or 0
         res.noops += d["noops"] or 0
+        res.output_rows += d["n_out"] or 0
+        res.output_keys += d["n_out_keys"] or 0
 
     prev_rows = manifest["summary"].get("total_rows", 0) or 0
     res.total_rows = prev_rows + res.inserts - res.deletes
@@ -237,4 +263,5 @@ def merge_into(
     }
     table._write_manifest(new_manifest)
     res.wall_ms = int((time.time() - t0) * 1000)
+    res.timings = timings
     return res

@@ -118,12 +118,16 @@ class LakeTable:
 
     @property
     def version(self) -> int:
+        import re
+
         d = os.path.join(self.path, MANIFEST_DIR)
         versions = [
-            int(f[1:-5]) for f in os.listdir(d) if f.startswith("v") and f.endswith(".json")
+            int(m.group(1))
+            for f in os.listdir(d)
+            if (m := re.fullmatch(r"v(\d+)\.json", f))
         ]
         if not versions:
-            raise FileNotFoundError(f"no manifests under {d}")
+            raise FileNotFoundError(f"no live manifests under {d}")
         return max(versions)
 
     @property
@@ -166,7 +170,18 @@ class LakeTable:
         self._manifest_cache = manifest
 
     def history(self) -> list[dict]:
-        return [self._read_manifest(v) for v in range(self.version + 1)]
+        """Live + expired manifests, oldest first (expired snapshots keep
+        contributing to fencing history; only their data pins are gone)."""
+        import re
+
+        d = os.path.join(self.path, MANIFEST_DIR)
+        entries = []
+        for f in os.listdir(d):
+            m = re.fullmatch(r"v(\d+)(?:\.expired)?\.json", f)
+            if m:
+                with open(os.path.join(d, f)) as fh:
+                    entries.append((int(m.group(1)), json.load(fh)))
+        return [e[1] for e in sorted(entries)]
 
     def committed_batches(self) -> dict[str, dict]:
         """batch_id -> {version, start_lsn, end_lsn} over the snapshot chain.

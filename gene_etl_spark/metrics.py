@@ -27,13 +27,35 @@ class MetricsTable:
         os.makedirs(self.path, exist_ok=True)
 
     def append_rows(self, rows: list[dict]) -> None:
+        """Driver-side pyarrow append: the counters are a handful of rows
+        per batch — spinning a Spark job for them would cost more than the
+        data plane itself (the data plane stays Spark; bookkeeping is local)."""
         if not rows:
             return
-        full = [
-            {f.name: r.get(f.name) for f in METRICS_SCHEMA.fields} for r in rows
-        ]
-        df = self.spark.createDataFrame(full, METRICS_SCHEMA)
-        df.coalesce(1).write.mode("append").parquet(self.path)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        arrow_types = {
+            "batch_id": pa.string(),
+            "phase": pa.string(),
+            "partition_id": pa.int32(),
+            "events_read": pa.int64(),
+            "dedup_dropped": pa.int64(),
+            "inserts": pa.int64(),
+            "updates": pa.int64(),
+            "deletes": pa.int64(),
+            "noops": pa.int64(),
+            "wall_ms": pa.int64(),
+        }
+        cols = {
+            name: pa.array([r.get(name) for r in rows], t)
+            for name, t in arrow_types.items()
+        }
+        import uuid as _uuid
+
+        pq.write_table(
+            pa.table(cols), os.path.join(self.path, f"m-{_uuid.uuid4().hex}.parquet")
+        )
 
     def read(self) -> DataFrame:
         if not any(f.endswith(".parquet") for f in _walk_files(self.path)):

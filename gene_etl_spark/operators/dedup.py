@@ -52,3 +52,31 @@ def lww_dedup(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def lww_dedup_agg(
+    df: DataFrame,
+    key_cols: list[str] | tuple[str, ...] = ("conv_id", "turn_idx"),
+    order_cols: list[str] | tuple[str, ...] = ("lsn", "ts"),
+) -> DataFrame:
+    """LWW dedup as a hash aggregation: ``max_by(payload, (lsn, ts))``.
+
+    Strictly dominates the salted window at scale: hash aggregates get
+    **map-side partial combine**, so a hot key collapses to one row per
+    input partition *before* the shuffle — skew is neutralized without
+    salting, one shuffle replaces the window's two (or three, salted),
+    and only the per-key winners travel the wire instead of every event.
+    Struct comparison is lexicographic on (lsn, ts) — exact LWW order;
+    ties on both (a replayed identical event) pick either copy, which is
+    byte-identical anyway.
+
+    The window variant above remains for cases needing rank>1 semantics
+    (e.g. "latest k versions"); the engine default is this aggregate.
+    """
+    keys = list(key_cols)
+    payload = [c for c in df.columns if c not in keys]
+    winner = F.max_by(
+        F.struct(*[F.col(c) for c in payload]),
+        F.struct(*[F.col(c) for c in order_cols]),
+    ).alias("_w")
+    return df.groupBy(*keys).agg(winner).select(*keys, "_w.*")

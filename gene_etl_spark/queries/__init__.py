@@ -12,12 +12,27 @@ Conventions for driver hash parity:
 from __future__ import annotations
 
 
+def _ansi_off(fn):
+    """The oracles follow SQL null-on-edge-case semantics (corr of a
+    constant series → NULL, x/0 → NULL); Spark 4's default ANSI mode
+    throws instead. Pin the runtime conf regardless of the caller's
+    session defaults."""
+
+    def wrapped(spark, sf_dir):
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 def all_queries():
-    from gene_etl_spark.queries import cdc, relational, textops
+    from gene_etl_spark.queries import cdc, kernels, relational, textops
 
     q: dict = {}
     o: dict = {}
-    for mod in (relational, textops, cdc):
-        q.update(mod.QUERIES)
+    for mod in (relational, textops, kernels, cdc):
+        q.update({k: _ansi_off(v) for k, v in mod.QUERIES.items()})
         o.update(mod.ORACLES)
     return q, o

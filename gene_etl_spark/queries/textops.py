@@ -146,12 +146,14 @@ FROM docs_norm
 # |A∩B| / (|A|+|B|-|A∩B|)
 # --------------------------------------------------------------------- #
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    s = doc_shingles(spark, sf_dir)
+    # join on the 60-bit shingle hash, not the string: same semantics in
+    # both engines (hash applied in the oracle too), ~3× cheaper shuffle
+    s = doc_shingles(spark, sf_dir).select("doc_id", md5_long("sh").alias("shh"))
     cnt = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
-    a = s.select(F.col("doc_id").alias("doc_a"), "sh")
-    b = s.select(F.col("doc_id").alias("doc_b"), "sh")
+    a = s.select(F.col("doc_id").alias("doc_a"), "shh")
+    b = s.select(F.col("doc_id").alias("doc_b"), "shh")
     inter = (
-        a.join(b, "sh")
+        a.join(b, "shh")
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
@@ -171,10 +173,13 @@ SQL_DEDUP_NGRAM_JACCARD = (
     "WITH "
     + SQL_SHINGLES.strip()
     + f""",
-cnt AS (SELECT doc_id, COUNT(*) AS ns FROM shingles GROUP BY 1),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS shh FROM shingles
+),
+cnt AS (SELECT doc_id, COUNT(*) AS ns FROM hashed GROUP BY 1),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM hashed a JOIN hashed b ON a.shh = b.shh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
@@ -380,13 +385,63 @@ def _cos(a, b):
 
 
 def q_embedding_topk_pairs(spark, sf_dir):
-    e = _emb(spark, sf_dir)
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    c = F.round(_cos(F.col("ea"), F.col("eb")), 5)
+    """Brute-force cosine top-k pairs via a broadcast numpy matmul
+    kernel: each Arrow batch computes its rows against the full (small)
+    matrix and emits only its local top-k; a global TakeOrdered picks
+    the final k. This is the standard broadcast-brute-force ANN baseline
+    — the theta-join form costs O(n²) expression evals; the kernel does
+    the same flops in one BLAS call. At corpus sizes where the matrix no
+    longer broadcasts, the LSH/IVF variants below are the scale path."""
+    import numpy as np
+    import pandas as pd
+
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    pdf = e.toPandas()
+    ids_all = pdf["vec_id"].to_numpy(dtype=np.int64)
+    m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    order = np.argsort(ids_all)
+    ids_all, m = ids_all[order], m[order]
+    b_m = spark.sparkContext.broadcast(m)
+    b_ids = spark.sparkContext.broadcast(ids_all)
+    k = TOPK_PAIRS
+
+    def local_topk(batches):
+        mm, mids = b_m.value, b_ids.value
+        for bdf in batches:
+            idx = bdf["vec_id"].to_numpy(dtype=np.int64)
+            x = np.array(bdf["embedding"].tolist(), dtype=np.float64)
+            x = x / np.linalg.norm(x, axis=1, keepdims=True)
+            c = x @ mm.T
+            mask = idx[:, None] < mids[None, :]  # canonical a < b only
+            c = np.where(mask, c, -np.inf)
+            flat = c.ravel()
+            # +32 buffer: pairs that tie at the rounded 5th decimal across
+            # the local cut must all reach the global ordering
+            n_take = min(k + 32, int(mask.sum()))
+            if n_take == 0:
+                continue
+            top = np.argpartition(-flat, n_take - 1)[:n_take]
+            rows, cols = np.unravel_index(top, c.shape)
+            yield pd.DataFrame(
+                {
+                    "vec_a": idx[rows],
+                    "vec_b": mids[cols],
+                    "cosine": np.round(flat[top], 5),
+                }
+            )
+
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_a", T.LongType()),
+            T.StructField("vec_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
     return (
-        pairs.select("vec_a", "vec_b", c.alias("cosine"))
+        e.mapInPandas(local_topk, schema)
         .orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b"))
         .limit(TOPK_PAIRS)
     )

@@ -24,8 +24,8 @@ from pyspark.storagelevel import StorageLevel
 from gene_etl_spark.config import IngestConfig, config_hash
 from gene_etl_spark.lake.table import LakeTable
 from gene_etl_spark.ledger import Ledger
-from gene_etl_spark.metrics import MetricsTable, read_phase_counters
-from gene_etl_spark.operators.dedup import lww_dedup
+from gene_etl_spark.metrics import MetricsTable
+from gene_etl_spark.operators.dedup import lww_dedup, lww_dedup_agg
 from gene_etl_spark.sources.binlog import BinlogSource
 from gene_etl_spark.validate import Validator
 
@@ -82,29 +82,48 @@ class CdcIngestRunner:
             }
         batch_id = uuid.uuid4().hex
         t0 = time.time()
+        phases: dict[str, float] = {}
 
         slice_df = self.source.read_slice(start_lsn, end_lsn).persist(
             StorageLevel.MEMORY_AND_DISK
         )
         try:
+            # one fused pass: read-phase lineage counters + validation sums
+            tp = time.time()
+            read_counters = self.validator.pre_check_counters(
+                slice_df, list(self.config.key_cols), start_lsn, end_lsn
+            )
             self.validator.pre_checks(
-                slice_df, list(self.config.key_cols), start_lsn, end_lsn, batch_id
-            )
-            read_counters = read_phase_counters(slice_df)
-            events_read = sum(r["events_read"] for r in read_counters)
-
-            deduped = lww_dedup(
                 slice_df,
-                key_cols=self.config.key_cols,
-                order_cols=("lsn", "ts"),
-                num_salts=self.config.num_salts if events_read >= self.config.salt_threshold else 1,
+                list(self.config.key_cols),
+                start_lsn,
+                end_lsn,
+                batch_id,
+                counters=read_counters,
             )
+            events_read = sum(r["events_read"] for r in read_counters)
+            phases["read_validate_sec"] = round(time.time() - tp, 3)
+
+            tp = time.time()
+            if self.config.dedup_strategy == "agg":
+                deduped = lww_dedup_agg(
+                    slice_df, key_cols=self.config.key_cols, order_cols=("lsn", "ts")
+                )
+            else:
+                deduped = lww_dedup(
+                    slice_df,
+                    key_cols=self.config.key_cols,
+                    order_cols=("lsn", "ts"),
+                    num_salts=self.config.num_salts if events_read >= self.config.salt_threshold else 1,
+                )
             result = self.table.merge(
                 deduped,
                 batch_id=batch_id,
                 start_lsn=start_lsn,
                 end_lsn=end_lsn,
             )
+            phases["merge_sec"] = round(time.time() - tp, 3)
+            phases.update(result.timings)
         finally:
             slice_df.unpersist()
 
@@ -143,7 +162,7 @@ class CdcIngestRunner:
             for c in result.partition_counters
         ]
         self.metrics.append_rows(metric_rows)
-        self.validator.post_checks(self.table, batch_id)
+        self.validator.post_checks_from_merge(result, batch_id)
         self.ledger.record(
             batch_id=batch_id,
             start_lsn=start_lsn,
@@ -165,6 +184,7 @@ class CdcIngestRunner:
             "noops": result.noops,
             "snapshot_version": result.snapshot_version,
             "wall_ms": wall_ms,
+            "phases": phases,
             "skipped": False,
         }
 

@@ -38,10 +38,21 @@ def get_spark(
         .config("spark.default.parallelism", str(n))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # default 64m advisory coalesces ~100MB shuffles down to 2-3
+        # partitions, starving wide local[N] runs; 8m keeps every slot fed
+        # while still merging empty/tiny partitions
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # tranche files are ~25MB; default 128m splits give too few read
+        # tasks to fill the machine
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.session.timeZone", "UTC")
+        # SQL-standard null-on-edge-case semantics (corr of a constant,
+        # x/0) to match the DuckDB oracle; Spark 4 defaults ANSI=on which
+        # throws instead
+        .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")

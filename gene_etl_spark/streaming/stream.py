@@ -1,0 +1,131 @@
+"""Structured Streaming ingest surface.
+
+``readStream`` over the binlog directory → ``foreachBatch`` applying the
+same salted-LWW-dedup + MERGE path as the batch runner (SURVEY.md §2.10:
+streaming is sugar over the same LSN-slice application). Exactly-once
+composes from three layers:
+
+- Spark's streaming checkpoint tracks which files each epoch consumed;
+- each epoch's MERGE is fenced by ``batch_id = stream-epoch-{id}`` in
+  the lake snapshot chain, so a replayed epoch (post-crash) is skipped;
+- the per-row ``(lsn, ts)`` guard in the MERGE makes even a forced
+  re-apply converge.
+
+Late/out-of-order data: intra-epoch disorder is resolved by the LWW
+window; cross-epoch disorder by the MERGE guard (a later-arriving lower
+LSN loses to the applied row). The known CoW limit — a tombstoned key
+cannot compare LSNs against a later-arriving older update — matches the
+batch contract (monotone-ish source ordering; Parquet file streams are
+consumed in modification-time order, which the tranche writer provides).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import SparkSession
+
+from gene_etl_spark.config import IngestConfig
+from gene_etl_spark.lake.table import LakeTable
+from gene_etl_spark.ledger import Ledger
+from gene_etl_spark.metrics import MetricsTable
+from gene_etl_spark.operators.dedup import lww_dedup
+from gene_etl_spark.sources.binlog import BinlogSource
+
+
+def ingest_stream(
+    spark: SparkSession,
+    config: IngestConfig,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+    timeout_sec: float = 600.0,
+) -> dict:
+    """Run an availableNow streaming ingest over the change log; returns
+    a summary once the stream drains."""
+    source = BinlogSource(spark, config.events_path)
+    schema = source.schema
+
+    if LakeTable.exists(config.lake_path):
+        table = LakeTable.load(spark, config.lake_path)
+    else:
+        import pyspark.sql.types as T
+
+        payload = [f for f in schema.fields if f.name not in ("op", "lsn", "event_ts")]
+        table = LakeTable.create(
+            spark,
+            config.lake_path,
+            T.StructType(payload),
+            key_cols=list(config.key_cols),
+            num_buckets=config.num_buckets,
+        )
+    ledger = Ledger(config.ledger_path)
+    metrics = MetricsTable(spark, config.metrics_path)
+    applied = {"epochs": 0, "events": 0}
+
+    def apply_epoch(df, epoch_id: int) -> None:
+        batch_id = f"stream-epoch-{epoch_id}"
+        if batch_id in table.committed_batches():
+            return  # fenced: epoch replayed after a crash
+        from pyspark.storagelevel import StorageLevel
+
+        cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            n = cached.count()
+            if n == 0:
+                return
+            deduped = lww_dedup(
+                cached,
+                key_cols=config.key_cols,
+                order_cols=("lsn", "ts"),
+                num_salts=config.num_salts if n >= config.salt_threshold else 1,
+            )
+            result = table.merge(deduped, batch_id=batch_id)
+            ledger.record(
+                batch_id=batch_id,
+                start_lsn=-1,
+                end_lsn=-1,
+                status="committed",
+                snapshot_version=result.snapshot_version,
+                extra={"events_read": n, "stream_epoch": epoch_id},
+            )
+            metrics.append_rows(
+                [
+                    {
+                        "batch_id": batch_id,
+                        "phase": "apply",
+                        "partition_id": int(c["partition_id"]),
+                        "inserts": int(c["inserts"] or 0),
+                        "updates": int(c["updates"] or 0),
+                        "deletes": int(c["deletes"] or 0),
+                        "noops": int(c["noops"] or 0),
+                        "wall_ms": result.wall_ms,
+                    }
+                    for c in result.partition_counters
+                ]
+            )
+            applied["epochs"] += 1
+            applied["events"] += n
+        finally:
+            cached.unpersist()
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(config.events_path)
+
+    query = (
+        stream.writeStream.foreachBatch(apply_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    t0 = time.time()
+    query.awaitTermination(timeout_sec)
+    if query.isActive:
+        query.stop()
+    return {
+        "epochs": applied["epochs"],
+        "events": applied["events"],
+        "wall_sec": time.time() - t0,
+        "final_snapshot": table.version,
+    }

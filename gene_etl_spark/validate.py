@@ -38,6 +38,37 @@ class Validator:
         os.makedirs(self.log_path, exist_ok=True)
 
     # ------------------------------------------------------------------ #
+    def pre_check_counters(
+        self,
+        slice_df: DataFrame,
+        key_cols: list[str],
+        start_lsn: int,
+        end_lsn: int,
+    ) -> list[dict]:
+        """One pass over the slice: per-input-partition event counts (the
+        read-phase lineage counters) fused with the validation sums.
+        dup_lsn is a soft check: the per-partition distinct shortfall
+        lower-bounds global duplicates (co-partitioned dups are caught;
+        cross-file dups surface later as LWW ties)."""
+        null_key = None
+        for k in key_cols:
+            c = F.col(k).isNull()
+            null_key = c if null_key is None else (null_key | c)
+        rows = (
+            slice_df.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(
+                F.count(F.lit(1)).alias("events_read"),
+                F.sum(null_key.cast("long")).alias("null_keys"),
+                F.sum((~F.col("op").isin("I", "U", "D")).cast("long")).alias("bad_ops"),
+                F.sum(
+                    ((F.col("lsn") <= start_lsn) | (F.col("lsn") > end_lsn)).cast("long")
+                ).alias("oob_lsn"),
+                (F.count(F.lit(1)) - F.countDistinct("lsn")).alias("dup_lsn"),
+            )
+            .collect()
+        )
+        return [r.asDict() for r in rows]
+
     def pre_checks(
         self,
         slice_df: DataFrame,
@@ -45,41 +76,62 @@ class Validator:
         start_lsn: int,
         end_lsn: int,
         batch_id: str,
+        counters: list[dict] | None = None,
     ) -> list[dict]:
-        null_key = None
-        for k in key_cols:
-            c = F.col(k).isNull()
-            null_key = c if null_key is None else (null_key | c)
-        agg = slice_df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(null_key.cast("long")).alias("null_keys"),
-            F.sum((~F.col("op").isin("I", "U", "D")).cast("long")).alias("bad_ops"),
-            F.sum(
-                ((F.col("lsn") <= start_lsn) | (F.col("lsn") > end_lsn)).cast("long")
-            ).alias("oob_lsn"),
-            (F.count(F.lit(1)) - F.countDistinct("lsn")).alias("dup_lsn"),
-        ).collect()[0]
+        if counters is None:
+            counters = self.pre_check_counters(slice_df, key_cols, start_lsn, end_lsn)
+        agg = {
+            k: sum(c[k] or 0 for c in counters)
+            for k in ("events_read", "null_keys", "bad_ops", "oob_lsn", "dup_lsn")
+        }
         results = [
-            self._result(batch_id, "pre", "non_null_keys", (agg["null_keys"] or 0) == 0, True, f"null_keys={agg['null_keys']}"),
-            self._result(batch_id, "pre", "valid_ops", (agg["bad_ops"] or 0) == 0, True, f"bad_ops={agg['bad_ops']}"),
-            self._result(batch_id, "pre", "lsn_in_bounds", (agg["oob_lsn"] or 0) == 0, True, f"oob={agg['oob_lsn']} range=({start_lsn},{end_lsn}]"),
-            self._result(batch_id, "pre", "lsn_unique", (agg["dup_lsn"] or 0) == 0, False, f"dups={agg['dup_lsn']}"),
+            self._result(batch_id, "pre", "non_null_keys", agg["null_keys"] == 0, True, f"null_keys={agg['null_keys']}"),
+            self._result(batch_id, "pre", "valid_ops", agg["bad_ops"] == 0, True, f"bad_ops={agg['bad_ops']}"),
+            self._result(batch_id, "pre", "lsn_in_bounds", agg["oob_lsn"] == 0, True, f"oob={agg['oob_lsn']} range=({start_lsn},{end_lsn}]"),
+            self._result(batch_id, "pre", "lsn_unique", agg["dup_lsn"] == 0, False, f"dups={agg['dup_lsn']}"),
         ]
         self._record(results)
         self._gate(results)
         return results
 
-    def post_checks(self, table, batch_id: str) -> list[dict]:
-        df = table.read()
+    def post_checks_from_merge(self, result, batch_id: str) -> list[dict]:
+        """Post-merge invariants derived from the merge's own cached pass —
+        zero extra table scans (the 100 TB-safe default; the full-table
+        audit below remains available)."""
+        applied = result.inserts + result.updates + result.deletes + result.noops
+        results = [
+            self._result(
+                batch_id, "post", "key_uniqueness",
+                result.output_rows == result.output_keys, True,
+                f"rows={result.output_rows} keys={result.output_keys} buckets={len(result.touched_buckets)}",
+            ),
+            self._result(
+                batch_id, "post", "row_accounting",
+                applied >= result.inserts + result.deletes, False,
+                f"applied={applied} ins={result.inserts} del={result.deletes}",
+            ),
+        ]
+        self._record(results)
+        self._gate(results)
+        return results
+
+    def post_checks(
+        self, table, batch_id: str, buckets: list[int] | None = None
+    ) -> list[dict]:
+        """Post-merge invariants, scoped to the buckets the batch touched —
+        rows can only have changed there, so the check cost scales with the
+        batch, not the table (full-table audit available via buckets=None)."""
+        df = table.read(buckets=buckets)
         keys = table.key_cols
         agg = df.agg(
             F.count(F.lit(1)).alias("n"),
             F.countDistinct(*[F.col(k) for k in keys]).alias("n_keys"),
         ).collect()[0]
         manifest_rows = table.manifest["summary"].get("total_rows")
+        full_scope = buckets is None or len(buckets) == table.num_buckets
         results = [
-            self._result(batch_id, "post", "key_uniqueness", agg["n"] == agg["n_keys"], True, f"rows={agg['n']} keys={agg['n_keys']}"),
-            self._result(batch_id, "post", "row_accounting", manifest_rows is None or manifest_rows == agg["n"], False, f"manifest={manifest_rows} actual={agg['n']}"),
+            self._result(batch_id, "post", "key_uniqueness", agg["n"] == agg["n_keys"], True, f"rows={agg['n']} keys={agg['n_keys']} buckets={'all' if full_scope else len(buckets)}"),
+            self._result(batch_id, "post", "row_accounting", (not full_scope) or manifest_rows is None or manifest_rows == agg["n"], False, f"manifest={manifest_rows} actual={agg['n']}"),
         ]
         self._record(results)
         self._gate(results)
@@ -98,8 +150,24 @@ class Validator:
         }
 
     def _record(self, results: list[dict]) -> None:
-        df = self.spark.createDataFrame(results, VALIDATION_SCHEMA)
-        df.coalesce(1).write.mode("append").parquet(self.log_path)
+        # driver-side pyarrow append — a few rows per batch, no Spark job
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        cols = {
+            "batch_id": pa.array([r["batch_id"] for r in results], pa.string()),
+            "stage": pa.array([r["stage"] for r in results], pa.string()),
+            "check_name": pa.array([r["check_name"] for r in results], pa.string()),
+            "passed": pa.array([r["passed"] for r in results], pa.bool_()),
+            "critical": pa.array([r["critical"] for r in results], pa.bool_()),
+            "details": pa.array([r["details"] for r in results], pa.string()),
+            "validated_at": pa.array([r["validated_at"] for r in results], pa.timestamp("us")),
+        }
+        pq.write_table(
+            pa.table(cols), os.path.join(self.log_path, f"v-{uuid.uuid4().hex}.parquet")
+        )
 
     def _gate(self, results: list[dict]) -> None:
         bad = [r for r in results if r["critical"] and not r["passed"]]

@@ -1,0 +1,63 @@
+"""Lake maintenance: time travel, compaction, snapshot expiry, vacuum."""
+
+import os
+
+from gene_etl_spark.config import IngestConfig
+from gene_etl_spark.lake.maintenance import (
+    compact,
+    expire_snapshots,
+    read_at_version,
+    vacuum,
+)
+from gene_etl_spark.oracle import assert_replay_equal, materialize_expected
+from gene_etl_spark.runner import CdcIngestRunner
+from gene_etl_spark.sources.simulate import generate_change_stream
+
+
+def _build(spark, workdir, n_events=3000, slice_width=750):
+    generate_change_stream(
+        os.path.join(workdir, "events"), n_convs=30, max_turns=15,
+        n_events=n_events, seed=5, n_tranches=4,
+    )
+    cfg = IngestConfig(
+        lake_path=os.path.join(workdir, "lake"),
+        events_path=os.path.join(workdir, "events"),
+        ledger_path=os.path.join(workdir, "ledger"),
+        metrics_path=os.path.join(workdir, "metrics"),
+        validation_path=os.path.join(workdir, "validation"),
+        num_buckets=8, slice_lsn_width=slice_width, num_salts=2, salt_threshold=0,
+    )
+    runner = CdcIngestRunner(spark, cfg)
+    runner.run()
+    return runner, cfg
+
+
+def test_time_travel_and_maintenance(spark, workdir):
+    runner, cfg = _build(spark, workdir)
+    table = runner.table
+    v_final = table.version
+    expected = materialize_expected(cfg.events_path)
+
+    # time travel: version 1 state equals the oracle truncated to batch 1
+    v1 = read_at_version(table, 1).toPandas()
+    assert_replay_equal(v1, materialize_expected(cfg.events_path, up_to_lsn=750))
+
+    # compaction: consolidates files, preserves content, new snapshot
+    before_files = sum(len(v) for v in table.manifest["files"].values())
+    res = compact(table, max_files_per_bucket=1)
+    assert table.version == v_final + 1
+    after_files = sum(len(v) for v in table.manifest["files"].values())
+    assert after_files <= before_files
+    assert all(len(v) <= 1 for v in table.manifest["files"].values())
+    assert_replay_equal(table.read().toPandas(), expected)
+
+    # vacuum: superseded bucket rewrites are reclaimable once snapshots
+    # expire; live files survive
+    expire_snapshots(table, keep_last=1)
+    stats = vacuum(table)
+    assert stats["removed_files"] > 0
+    assert_replay_equal(table.read().toPandas(), expected)
+
+    # fencing history survives expiry: committed batches still known
+    assert len(table.committed_batches()) >= 4
+    assert runner.ledger.resume_lsn(table) == 3000
