@@ -44,6 +44,10 @@ class IngestConfig:
     # --- validation gates (reference: etl/validate.py:33-137) ---------------
     fail_on_critical: bool = True
 
+    # --- maintenance ---------------------------------------------------------
+    compact_every_n_batches: int | None = None  # auto-compact cadence
+    compact_max_files_per_bucket: int = 4
+
     # --- execution ----------------------------------------------------------
     shuffle_partitions: int | None = None  # default: match cores
     extra: dict = field(default_factory=dict)

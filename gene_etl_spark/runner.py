@@ -203,7 +203,14 @@ class CdcIngestRunner:
             self.config.slice_lsn_width,
             max_batches or self.config.max_batches,
         )
-        batches = [self.apply_batch(lo, hi) for lo, hi in plan]
+        batches = []
+        for i, (lo, hi) in enumerate(plan, start=1):
+            batches.append(self.apply_batch(lo, hi))
+            every = self.config.compact_every_n_batches
+            if every and i % every == 0:
+                from gene_etl_spark.lake.maintenance import compact
+
+                compact(self.table, self.config.compact_max_files_per_bucket)
         wall = time.time() - t0
         events = sum(b.get("events_read", 0) for b in batches if not b.get("skipped"))
         return {

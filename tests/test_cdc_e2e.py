@@ -139,6 +139,26 @@ def test_metrics_accounting(spark, workdir, stream):
     assert set(vlog["stage"].unique()) == {"pre", "post"}
 
 
+def test_medium_scale_replay_with_autocompact(spark, workdir):
+    """100k-event replay with auto-compaction every 2 batches: the
+    maintenance path must never change query results."""
+    generate_change_stream(
+        os.path.join(workdir, "events"), n_convs=800, max_turns=30,
+        n_events=100_000, seed=13, n_tranches=8,
+    )
+    cfg = make_config(
+        workdir, slice_lsn_width=25_000, num_buckets=16,
+        compact_every_n_batches=2, compact_max_files_per_bucket=1,
+    )
+    runner = CdcIngestRunner(spark, cfg)
+    summary = runner.run()
+    assert summary["n_batches"] == 4
+    assert_replay_equal(lake_to_pandas(runner), materialize_expected(cfg.events_path))
+    # compaction actually ran (snapshots: 4 merges + >=1 compact)
+    ops = [m["summary"].get("operation") for m in runner.table.history()]
+    assert "compact" in ops
+
+
 def test_bucket_pruned_merge(spark, workdir):
     """A merge touching few conversations rewrites only those buckets."""
     generate_change_stream(
