@@ -67,6 +67,7 @@ def bench_cdc_apply(cores: int) -> dict:
             "--events", str(CDC_EVENTS),
             "--convs", str(CDC_CONVS),
             "--slices", str(CDC_SLICES),
+            "--mode", os.environ.get("BENCH_CDC_MODE", "mor"),
         ],
         capture_output=True,
         text=True,

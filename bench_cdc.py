@@ -27,6 +27,8 @@ def main() -> None:
     ap.add_argument("--slices", type=int, default=8)
     ap.add_argument("--num-buckets", type=int, default=64)
     ap.add_argument("--num-salts", type=int, default=8)
+    ap.add_argument("--mode", choices=["cow", "mor"], default="cow")
+    ap.add_argument("--compact-every", type=int, default=None)
     ap.add_argument("--stream-dir", default=None)
     ap.add_argument("--json", dest="json_out", default=None)
     args = ap.parse_args()
@@ -63,11 +65,15 @@ def main() -> None:
         num_buckets=args.num_buckets,
         slice_lsn_width=max(1, args.events // args.slices),
         num_salts=args.num_salts,
+        merge_mode=args.mode,
+        compact_every_n_batches=args.compact_every,
         shuffle_partitions=args.cores,
     )
     runner = CdcIngestRunner(spark, cfg)
     summary = runner.run()
     final_rows = runner.table.manifest["summary"]["total_rows"]
+    if final_rows is None:  # MoR: resolve-read to count (outside the timing)
+        final_rows = runner.table.read().count()
     shutil.rmtree(base, ignore_errors=True)
 
     # steady-state: exclude the first two batches (JVM/JIT/whole-stage-
@@ -79,6 +85,7 @@ def main() -> None:
 
     out = {
         "cores": args.cores,
+        "mode": args.mode,
         "events": summary["events_read"],
         "n_batches": summary["n_batches"],
         "wall_sec": round(summary["wall_sec"], 3),

@@ -28,6 +28,12 @@ class IngestConfig:
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx")
     num_buckets: int = 64  # bucket(conv_id) partitioning of the lake table
 
+    # --- merge strategy ------------------------------------------------------
+    # "cow": copy-on-write (read-optimized; rewrite ∝ touched buckets)
+    # "mor": merge-on-read (write-optimized; append ∝ slice — the
+    #        10^10-event design point; pair with compact_every_n_batches)
+    merge_mode: str = "cow"
+
     # --- batch planning (reference analogue: batch_size/checkpoint_interval,
     # etl/config.py:88-92) ----------------------------------------------------
     slice_lsn_width: int = 100_000  # events per LSN-bounded batch slice
@@ -62,6 +68,10 @@ class IngestConfig:
             raise ValueError("num_salts must be >= 1")
         if not self.key_cols:
             raise ValueError("key_cols must be non-empty")
+        if self.merge_mode not in ("cow", "mor"):
+            raise ValueError("merge_mode must be 'cow' or 'mor'")
+        if self.dedup_strategy not in ("agg", "salted_window"):
+            raise ValueError("dedup_strategy must be 'agg' or 'salted_window'")
 
 
 def config_hash(cfg: IngestConfig) -> str:

@@ -21,33 +21,26 @@ from gene_etl_spark.lake.table import DATA_DIR, MANIFEST_DIR, LakeTable
 
 
 def read_at_version(table: LakeTable, version: int) -> DataFrame:
-    """Time-travel scan of snapshot ``version``."""
-    m = table._read_manifest(version)
-    phys = table._physical_schema(m)
-    files = [
-        os.path.join(table.path, rel)
-        for rels in m["files"].values()
-        for rel in rels
-    ]
-    if not files:
-        return table.spark.createDataFrame([], phys).drop("_lsn")
-    return (
-        table.spark.read.schema(phys)
-        .option("recursiveFileLookup", "true")
-        .parquet(*files)
-        .drop("_lsn")
-    )
+    """Time-travel scan of snapshot ``version`` (MoR deltas of that
+    snapshot resolve exactly as a live read would)."""
+    return table.read(manifest=table._read_manifest(version))
 
 
 def compact(table: LakeTable, max_files_per_bucket: int = 1) -> dict:
-    """Rewrite buckets whose file count exceeds the target into fresh
-    single-pass files; commits a new snapshot (a no-data-change commit:
-    row content identical, layout consolidated)."""
+    """Rewrite buckets whose base-file count exceeds the target — or
+    which carry MoR delta files — into fresh resolved base files; commits
+    a new snapshot (row content identical: the read path's LWW resolution
+    is what gets folded in)."""
     manifest = table.manifest
-    fragmented = [
-        int(b) for b, files in manifest["files"].items()
-        if len(files) > max_files_per_bucket
-    ]
+    deltas = manifest.get("deltas", {}) or {}
+    fragmented = sorted(
+        {
+            int(b)
+            for b, files in manifest["files"].items()
+            if len(files) > max_files_per_bucket
+        }
+        | {int(b) for b, files in deltas.items() if files}
+    )
     if not fragmented:
         return {"compacted_buckets": 0, "snapshot_version": manifest["version"]}
 
@@ -66,14 +59,17 @@ def compact(table: LakeTable, max_files_per_bucket: int = 1) -> dict:
         .parquet(abs_commit)
     )
     new_files = dict(manifest["files"])
+    new_deltas = {k: list(v) for k, v in deltas.items()}
     bucket_files = table._list_bucket_files(abs_commit, rel_commit)
     for b in fragmented:
         new_files[str(b)] = bucket_files.get(str(b), [])
+        new_deltas.pop(str(b), None)  # deltas folded into the new base
     new_manifest = {
         **manifest,
         "version": version,
         "parent": manifest["version"],
         "files": new_files,
+        "deltas": new_deltas,
         "properties": {},
         "summary": {
             "operation": "compact",
@@ -114,6 +110,8 @@ def vacuum(table: LakeTable, dry_run: bool = False) -> dict:
             continue  # expired snapshots no longer pin files
         for rels in m.get("files", {}).values():
             live.update(rels)
+        for rels in (m.get("deltas", {}) or {}).values():
+            live.update(rels)  # MoR delta files are live data
     removed = 0
     ddir = os.path.join(table.path, DATA_DIR)
     for root, _dirs, files in os.walk(ddir):

@@ -88,7 +88,18 @@ def merge_into(
     ts_col: str = "ts",
     start_lsn: int | None = None,
     end_lsn: int | None = None,
+    mode: str = "cow",
 ) -> MergeResult:
+    """mode='cow' rewrites touched buckets (read-optimized); mode='mor'
+    appends per-bucket delta files with ops+LSNs retained (write-
+    optimized: merge cost ∝ the slice, never the table — the 10^10-event
+    design point; reads resolve LWW over base∪deltas until compaction
+    folds them in)."""
+    if mode == "mor":
+        return _merge_mor(
+            table, updates, batch_id=batch_id, op_col=op_col, lsn_col=lsn_col,
+            start_lsn=start_lsn, end_lsn=end_lsn,
+        )
     from gene_etl_spark.lake.table import LSN_COL
 
     t0 = time.time()
@@ -219,8 +230,14 @@ def merge_into(
     # ---- commit the new snapshot ----------------------------------------
     new_files = dict(manifest["files"])  # carry forward untouched buckets
     bucket_files = table._list_bucket_files(abs_commit, rel_commit)
+    # a CoW rewrite resolves any MoR deltas for its buckets (the target
+    # read folds them in), so those delta pins are cleared here
+    new_deltas = {
+        k: list(v) for k, v in (manifest.get("deltas", {}) or {}).items()
+    }
     for b in touched:
         new_files[str(b)] = bucket_files.get(str(b), [])
+        new_deltas.pop(str(b), None)
 
     res = MergeResult(snapshot_version=version, touched_buckets=touched)
     for row in counters:
@@ -233,8 +250,10 @@ def merge_into(
         res.output_rows += d["n_out"] or 0
         res.output_keys += d["n_out_keys"] or 0
 
-    prev_rows = manifest["summary"].get("total_rows", 0) or 0
-    res.total_rows = prev_rows + res.inserts - res.deletes
+    prev_rows = manifest["summary"].get("total_rows")
+    res.total_rows = (
+        prev_rows + res.inserts - res.deletes if prev_rows is not None else None
+    )
 
     import json as _json
 
@@ -245,6 +264,7 @@ def merge_into(
         "key_cols": key_cols,
         "num_buckets": num_buckets,
         "files": new_files,
+        "deltas": new_deltas,
         "properties": {
             "batch_id": batch_id,
             "start_lsn": start_lsn,
@@ -257,6 +277,147 @@ def merge_into(
             "updates": res.updates,
             "deletes": res.deletes,
             "noops": res.noops,
+            "touched_buckets": touched,
+        },
+        "committed_at_ms": int(time.time() * 1000),
+    }
+    table._write_manifest(new_manifest)
+    res.wall_ms = int((time.time() - t0) * 1000)
+    res.timings = timings
+    return res
+
+
+def _merge_mor(
+    table,
+    updates: DataFrame,
+    *,
+    batch_id: str | None,
+    op_col: str,
+    lsn_col: str,
+    start_lsn: int | None,
+    end_lsn: int | None,
+) -> MergeResult:
+    """Merge-on-read: append the (deduped) slice as per-bucket delta
+    files — payload + _lsn + _op, tombstones included. No target scan,
+    no rewrite: write volume is exactly the slice. Readers and
+    compaction resolve LWW over base∪deltas (LakeTable.read), so
+    out-of-order arrivals and delete/re-insert races resolve by LSN even
+    across disordered batches — stronger than the CoW guard, which
+    cannot compare against a tombstone it already erased."""
+    import json as _json
+
+    from gene_etl_spark.lake.table import LSN_COL, OP_COL
+
+    t0 = time.time()
+    manifest = table.manifest
+    key_cols = table.key_cols
+    timings: dict[str, float] = {}
+
+    # additive schema evolution, same as CoW
+    table_schema = table.schema
+    table_cols = [f.name for f in table_schema.fields]
+    reserved = {op_col, lsn_col, "event_ts", BUCKET_COL}
+    upd_payload_cols = [c for c in updates.columns if c not in reserved]
+    new_fields = [
+        f for f in updates.schema.fields
+        if f.name in upd_payload_cols and f.name not in table_cols
+    ]
+    evolved_schema = table_schema
+    if new_fields:
+        import pyspark.sql.types as T
+
+        evolved_schema = T.StructType(
+            list(table_schema.fields)
+            + [T.StructField(f.name, f.dataType, True) for f in new_fields]
+        )
+    payload_cols = [f.name for f in evolved_schema.fields]
+
+    tp = time.time()
+    delta_cols = []
+    types = {f.name: f.dataType for f in evolved_schema.fields}
+    for c in payload_cols:
+        if c in updates.columns:
+            delta_cols.append(F.col(c))
+        else:
+            delta_cols.append(F.lit(None).cast(types[c]).alias(c))
+    upd = updates.select(
+        *delta_cols,
+        F.col(lsn_col).cast("long").alias(LSN_COL),
+        F.col(op_col).alias(OP_COL),
+    ).withColumn(BUCKET_COL, table.bucket_expr())
+    upd = upd.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # per-partition lineage counters on the delta itself (deduped input:
+    # one row per key, so rows == distinct keys by contract, asserted)
+    key0, key_rest = key_cols[0], key_cols[1:]
+    counters = (
+        upd.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(
+            F.sum((F.col(OP_COL) != "D").cast("long")).alias("updates"),
+            F.sum((F.col(OP_COL) == "D").cast("long")).alias("deletes"),
+            F.count(F.lit(1)).alias("n_out"),
+            F.countDistinct(F.col(key0), *[F.col(k) for k in key_rest]).alias(
+                "n_out_keys"
+            ),
+        )
+        .collect()
+    )
+    touched = sorted(
+        r[0] for r in upd.select(BUCKET_COL).distinct().collect()
+    )
+    timings["dedup_buckets_sec"] = round(time.time() - tp, 3)
+
+    version = manifest["version"] + 1
+    rel_commit = table._new_commit_dir(version)
+    abs_commit = os.path.join(table.path, rel_commit)
+    tp = time.time()
+    shuffle_n = max(
+        len(touched), int(table.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    )
+    (
+        upd.repartitionByRange(shuffle_n, F.col(BUCKET_COL), F.col(key_cols[0]))
+        .write.partitionBy(BUCKET_COL)
+        .mode("overwrite")
+        .parquet(abs_commit)
+    )
+    timings["delta_write_sec"] = round(time.time() - tp, 3)
+    upd.unpersist()
+
+    new_deltas = {k: list(v) for k, v in (manifest.get("deltas", {}) or {}).items()}
+    bucket_files = table._list_bucket_files(abs_commit, rel_commit)
+    for b in touched:
+        new_deltas.setdefault(str(b), []).extend(bucket_files.get(str(b), []))
+
+    res = MergeResult(snapshot_version=version, touched_buckets=touched)
+    for row in counters:
+        d = row.asDict()
+        d.setdefault("inserts", 0)
+        d.setdefault("noops", 0)
+        res.partition_counters.append(d)
+        res.updates += d["updates"] or 0
+        res.deletes += d["deletes"] or 0
+        res.output_rows += d["n_out"] or 0
+        res.output_keys += d["n_out_keys"] or 0
+    res.total_rows = None  # unknown until read/compaction resolves
+
+    new_manifest = {
+        "version": version,
+        "parent": manifest["version"],
+        "schema": _json.loads(evolved_schema.json()),
+        "key_cols": key_cols,
+        "num_buckets": table.num_buckets,
+        "files": dict(manifest["files"]),  # base untouched
+        "deltas": new_deltas,
+        "properties": {
+            "batch_id": batch_id,
+            "start_lsn": start_lsn,
+            "end_lsn": end_lsn,
+        },
+        "summary": {
+            "operation": "merge-mor",
+            "total_rows": None,
+            "upserts": res.updates,
+            "deletes": res.deletes,
             "touched_buckets": touched,
         },
         "committed_at_ms": int(time.time() * 1000),

@@ -44,6 +44,7 @@ from gene_etl_spark.functions import bucket_of
 MANIFEST_DIR = "_manifests"
 DATA_DIR = "data"
 LSN_COL = "_lsn"  # hidden per-row last-writer LSN, enables cross-batch LWW
+OP_COL = "_op"  # delta files only: I/U/D (tombstones live in deltas)
 
 
 class CommitConflict(RuntimeError):
@@ -215,8 +216,13 @@ class LakeTable:
         fields.append(T.StructField(LSN_COL, T.LongType(), True))
         return T.StructType(fields)
 
-    def _files_for(self, buckets: list[int] | None = None) -> list[str]:
-        files_map = self.manifest["files"]
+    def _files_for(
+        self,
+        buckets: list[int] | None = None,
+        kind: str = "files",
+        manifest: dict | None = None,
+    ) -> list[str]:
+        files_map = (manifest or self.manifest).get(kind, {}) or {}
         keys = (
             files_map.keys() if buckets is None else [str(b) for b in buckets]
         )
@@ -225,26 +231,75 @@ class LakeTable:
             out.extend(os.path.join(self.path, rel) for rel in files_map.get(k, []))
         return out
 
-    def read(self, buckets: list[int] | None = None, include_meta: bool = False) -> DataFrame:
-        """Scan the table (optionally pruned to a bucket list).
+    def delta_buckets(self) -> list[int]:
+        """Buckets that currently carry unmerged delta files (MoR)."""
+        return sorted(
+            int(b) for b, fs in (self.manifest.get("deltas", {}) or {}).items() if fs
+        )
+
+    def _scan(self, files: list[str], schema) -> DataFrame:
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        return (
+            self.spark.read.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(*files)
+        )
+
+    def read(
+        self,
+        buckets: list[int] | None = None,
+        include_meta: bool = False,
+        manifest: dict | None = None,
+    ) -> DataFrame:
+        """Scan the table (optionally pruned to a bucket list; pass a
+        historical manifest for time travel).
 
         Explicit schema + recursiveFileLookup: no schema inference, no
         partition discovery, and files predating a schema evolution read
         the new columns as null.
+
+        Merge-on-read resolution: buckets carrying delta files are
+        resolved on the fly — base rows and delta rows (which keep their
+        op and LSN) fold through the same ``max_by``-LWW aggregate the
+        ingest path uses, and winning tombstones drop the key. Buckets
+        without deltas read base files directly (no resolve cost).
         """
-        phys = self._physical_schema()
-        files = self._files_for(buckets)
-        if not files:
-            df = self.spark.createDataFrame([], phys)
-        else:
-            df = (
-                self.spark.read.schema(phys)
-                .option("recursiveFileLookup", "true")
-                .parquet(*files)
-            )
-        if not include_meta:
-            df = df.drop(LSN_COL)
-        return df
+        from pyspark.sql import functions as F
+
+        m = manifest or self.manifest
+        phys = self._physical_schema(m)
+        base_files = self._files_for(buckets, manifest=m)
+        delta_files = self._files_for(buckets, kind="deltas", manifest=m)
+        if not delta_files:
+            df = self._scan(base_files, phys)
+            return df if include_meta else df.drop(LSN_COL)
+
+        import pyspark.sql.types as T
+
+        delta_schema = T.StructType(
+            list(phys.fields) + [T.StructField(OP_COL, T.StringType(), True)]
+        )
+        base = self._scan(base_files, phys).withColumn(OP_COL, F.lit("U"))
+        deltas = self._scan(delta_files, delta_schema)
+        combined = base.unionByName(deltas)
+        keys = list(m["key_cols"])
+        payload = [c for c in combined.columns if c not in keys]
+        ts_order = (
+            F.col("ts") if "ts" in combined.columns else F.lit(None).cast("timestamp")
+        )
+        winner = F.max_by(
+            F.struct(*[F.col(c) for c in payload]),
+            F.struct(F.col(LSN_COL), ts_order),
+        ).alias("_w")
+        resolved = (
+            combined.groupBy(*keys)
+            .agg(winner)
+            .select(*keys, "_w.*")
+            .where(F.col(OP_COL) != "D")
+            .drop(OP_COL)
+        )
+        return resolved if include_meta else resolved.drop(LSN_COL)
 
     # ------------------------------------------------------------------ #
     # write path (MERGE lives in lake/merge.py, bound here)

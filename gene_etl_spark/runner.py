@@ -121,6 +121,7 @@ class CdcIngestRunner:
                 batch_id=batch_id,
                 start_lsn=start_lsn,
                 end_lsn=end_lsn,
+                mode=self.config.merge_mode,
             )
             phases["merge_sec"] = round(time.time() - tp, 3)
             phases.update(result.timings)
