@@ -46,7 +46,7 @@ def derived_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _replay_through_engine(spark: SparkSession, sf_dir: str, **cfg_kw) -> DataFrame:
     from gene_etl_spark.config import IngestConfig
     from gene_etl_spark.runner import CdcIngestRunner
 
@@ -56,7 +56,7 @@ def q_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         derived_change_events(spark, sf_dir).repartition(4).write.parquet(events_dir)
 
         max_lsn = spark.read.parquet(events_dir).agg(F.max("lsn")).collect()[0][0]
-        cfg = IngestConfig(
+        defaults = dict(
             lake_path=os.path.join(base, "lake"),
             events_path=events_dir,
             ledger_path=os.path.join(base, "ledger"),
@@ -67,10 +67,55 @@ def q_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             num_salts=4,
             salt_threshold=0,
         )
+        defaults.update(cfg_kw)
+        cfg = IngestConfig(**defaults)
         runner = CdcIngestRunner(spark, cfg)
         runner.run()
         out = runner.table.read().select("conv_id", "turn_idx", "role", "text", "ts")
         # materialize before the temp warehouse is deleted
+        pdf = out.toPandas()
+        return spark.createDataFrame(pdf, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def q_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write replay through the full engine."""
+    return _replay_through_engine(spark, sf_dir, merge_mode="cow")
+
+
+def q_cdc_replay_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read replay (delta appends + resolve-on-read) with a
+    mid-run compaction — the write-optimized engine path, value-gated
+    against the same pure-SQL oracle."""
+    return _replay_through_engine(
+        spark, sf_dir, merge_mode="mor", compact_every_n_batches=2
+    )
+
+
+def q_cdc_replay_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming replay: readStream → foreachBatch over the
+    same dedup+MERGE path, availableNow drain."""
+    from gene_etl_spark.config import IngestConfig
+    from gene_etl_spark.lake.table import LakeTable
+    from gene_etl_spark.streaming.stream import ingest_stream
+
+    base = tempfile.mkdtemp(prefix="cdc_stream_")
+    try:
+        events_dir = os.path.join(base, "events")
+        derived_change_events(spark, sf_dir).repartition(4).write.parquet(events_dir)
+        cfg = IngestConfig(
+            lake_path=os.path.join(base, "lake"),
+            events_path=events_dir,
+            ledger_path=os.path.join(base, "ledger"),
+            metrics_path=os.path.join(base, "metrics"),
+            validation_path=os.path.join(base, "validation"),
+            num_buckets=16,
+            merge_mode="mor",
+        )
+        ingest_stream(spark, cfg, os.path.join(base, "ckpt"), max_files_per_trigger=2)
+        table = LakeTable.load(spark, cfg.lake_path)
+        out = table.read().select("conv_id", "turn_idx", "role", "text", "ts")
         pdf = out.toPandas()
         return spark.createDataFrame(pdf, out.schema)
     finally:
@@ -129,10 +174,14 @@ FROM (
 
 QUERIES = {
     "cdc_replay": q_cdc_replay,
+    "cdc_replay_mor": q_cdc_replay_mor,
+    "cdc_replay_stream": q_cdc_replay_stream,
     "lww_dedup_salted": q_lww_dedup_salted,
 }
 
 ORACLES = {
     "cdc_replay": SQL_CDC_REPLAY,
+    "cdc_replay_mor": SQL_CDC_REPLAY,
+    "cdc_replay_stream": SQL_CDC_REPLAY,
     "lww_dedup_salted": SQL_LWW_DEDUP_SALTED,
 }

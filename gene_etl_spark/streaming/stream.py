@@ -79,7 +79,7 @@ def ingest_stream(
                 order_cols=("lsn", "ts"),
                 num_salts=config.num_salts if n >= config.salt_threshold else 1,
             )
-            result = table.merge(deduped, batch_id=batch_id)
+            result = table.merge(deduped, batch_id=batch_id, mode=config.merge_mode)
             ledger.record(
                 batch_id=batch_id,
                 start_lsn=-1,
