@@ -88,6 +88,10 @@ def main() -> None:
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
 
+    # CDC throughput first, in its own JVM with the machine to itself —
+    # a co-resident idle Spark JVM measurably degrades it
+    cdc = bench_cdc_apply(cores)
+
     from gene_etl_spark.queries import all_queries
     from gene_etl_spark.session import get_spark
 
@@ -103,7 +107,6 @@ def main() -> None:
         materialize(df)
         timings[name] = round(time.time() - t0, 3)
 
-    cdc = bench_cdc_apply(cores)
     timings["cdc_apply"] = cdc["wall_sec"]
 
     out = {

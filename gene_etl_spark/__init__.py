@@ -25,5 +25,35 @@ Reference parity citations use ``/root/reference`` paths (file:line).
 from gene_etl_spark.config import IngestConfig, config_hash
 from gene_etl_spark.session import get_spark
 
-__all__ = ["IngestConfig", "config_hash", "get_spark"]
+__all__ = [
+    "IngestConfig",
+    "config_hash",
+    "get_spark",
+    # lazy: LakeTable, CdcIngestRunner, lww_dedup, lww_dedup_agg,
+    # ingest_stream, materialize_expected
+]
 __version__ = "0.1.0"
+
+
+def __getattr__(name):  # composable library API (README.md:183-199 analogue)
+    if name == "LakeTable":
+        from gene_etl_spark.lake.table import LakeTable
+
+        return LakeTable
+    if name == "CdcIngestRunner":
+        from gene_etl_spark.runner import CdcIngestRunner
+
+        return CdcIngestRunner
+    if name in ("lww_dedup", "lww_dedup_agg"):
+        from gene_etl_spark.operators import dedup
+
+        return getattr(dedup, name)
+    if name == "ingest_stream":
+        from gene_etl_spark.streaming.stream import ingest_stream
+
+        return ingest_stream
+    if name == "materialize_expected":
+        from gene_etl_spark.oracle import materialize_expected
+
+        return materialize_expected
+    raise AttributeError(name)
