@@ -83,14 +83,3 @@ def _walk_files(path: str):
     for root, _d, files in os.walk(path):
         for f in files:
             yield os.path.join(root, f)
-
-
-def read_phase_counters(slice_df: DataFrame) -> list[dict]:
-    """Per-input-partition event counts for the read phase (computed on
-    the pushed-down Parquet scan partitions)."""
-    rows = (
-        slice_df.groupBy(F.spark_partition_id().alias("partition_id"))
-        .agg(F.count(F.lit(1)).alias("events_read"))
-        .collect()
-    )
-    return [r.asDict() for r in rows]

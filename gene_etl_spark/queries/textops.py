@@ -665,7 +665,62 @@ FROM per_doc GROUP BY 1
 )
 
 
+# --------------------------------------------------------------------- #
+# composite training-data pipeline: quality gate → exact dedup →
+# per-language corpus stats (the filter→dedup→measure shape a pretraining
+# data pipeline runs at 100 TB; all stages stay in one Catalyst plan)
+# --------------------------------------------------------------------- #
+def q_quality_dedup_pipeline(spark, sf_dir):
+    d = docs_norm(spark, sf_dir).withColumn("toks", tokens_col())
+    n_tokens = F.size("toks").cast("long")
+    punct = F.length("text") - F.length(F.regexp_replace("text", r"[.!?,;:]", ""))
+    gated = d.where((n_tokens >= 30) & (punct / F.length("text") <= 0.2))
+    deduped = (
+        gated.withColumn("fingerprint", md5_long("norm"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("fingerprint").orderBy("doc_id")
+            ),
+        )
+        .where(F.col("rn") == 1)
+    )
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
+        F.round(F.avg(F.size(tokens_col())), 6).alias("avg_tokens"),
+        F.round(F.sum(F.length("text")), 0).cast("long").alias("total_chars"),
+    )
+
+
+SQL_QUALITY_DEDUP_PIPELINE = (
+    "WITH "
+    + SQL_DOCS_NORM.strip()
+    + r""",
+gated AS (
+  SELECT *, len(string_split(norm, ' '))::BIGINT AS n_tokens
+  FROM docs_norm
+  WHERE len(string_split(norm, ' ')) >= 30
+    AND (length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')))
+        / length(text)::DOUBLE <= 0.2
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY ('0x' || substr(md5(norm), 1, 15))::BIGINT
+        ORDER BY doc_id) AS rn
+    FROM gated
+  ) WHERE rn = 1
+)
+SELECT lang, COUNT(*)::BIGINT AS n_docs_kept,
+       ROUND(AVG(n_tokens), 6) AS avg_tokens,
+       SUM(length(text))::BIGINT AS total_chars
+FROM deduped GROUP BY 1
+"""
+)
+
+
 QUERIES = {
+    "quality_dedup_pipeline": q_quality_dedup_pipeline,
     "dedup_exact": q_dedup_exact,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -682,6 +737,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "quality_dedup_pipeline": SQL_QUALITY_DEDUP_PIPELINE,
     "dedup_exact": SQL_DEDUP_EXACT,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
