@@ -24,6 +24,10 @@ def entry(spark: SparkSession) -> DataFrame:
     and return the final lake state."""
     from gene_etl_spark.queries.cdc import q_cdc_replay
 
+    # the driver's session may default to ANSI mode / non-UTC tz; the
+    # engine targets SQL null-on-edge-case semantics and UTC timestamps
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return q_cdc_replay(spark, "/root/testdata/sf0.001")
 
 

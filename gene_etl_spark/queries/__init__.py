@@ -13,13 +13,15 @@ from __future__ import annotations
 
 
 def _ansi_off(fn):
-    """The oracles follow SQL null-on-edge-case semantics (corr of a
-    constant series → NULL, x/0 → NULL); Spark 4's default ANSI mode
-    throws instead. Pin the runtime conf regardless of the caller's
-    session defaults."""
+    """Pin runtime session semantics regardless of the caller's session
+    defaults: SQL null-on-edge-case behavior (corr of a constant series
+    → NULL, x/0 → NULL — Spark 4's default ANSI mode throws instead) and
+    UTC timestamps (a non-UTC session shifts toPandas timestamps away
+    from DuckDB's naive parquet reading)."""
 
     def wrapped(spark, sf_dir):
         spark.conf.set("spark.sql.ansi.enabled", "false")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         return fn(spark, sf_dir)
 
     wrapped.__name__ = getattr(fn, "__name__", "query")
