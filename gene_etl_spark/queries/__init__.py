@@ -22,6 +22,11 @@ def _ansi_off(fn):
     def wrapped(spark, sf_dir):
         spark.conf.set("spark.sql.ansi.enabled", "false")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # a 200-partition default floods sf0.01-scale shuffles with tiny
+        # tasks (hurts the engine-replay queries most); AQE coalesces,
+        # but a sane ceiling avoids the scheduling churn outright
+        if int(spark.conf.get("spark.sql.shuffle.partitions", "200")) > 32:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
         return fn(spark, sf_dir)
 
     wrapped.__name__ = getattr(fn, "__name__", "query")
