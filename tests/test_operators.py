@@ -105,3 +105,22 @@ def test_plan_shapes(spark):
     assert set(scan_columns(scan)) == {"p_partkey", "p_brand", "p_type", "p_size"}
 
     assert broadcast_join_count(q_dim_join(spark, sf)) == 2
+
+
+def test_slice_read_pushes_lsn_bounds(spark, tmp_path):
+    """The binlog slice predicate must reach the Parquet scan (row-group
+    pruning) — the property that lets the same code tail a 10^10-event
+    log without scanning it."""
+    from gene_etl_spark.plans import formatted_plan, has_pushed_filters
+    from gene_etl_spark.sources.binlog import BinlogSource
+    from gene_etl_spark.sources.simulate import generate_change_stream
+
+    generate_change_stream(
+        str(tmp_path / "ev"), n_convs=10, max_turns=5, n_events=500,
+        seed=2, n_tranches=2, evolve_at_frac=0.0,
+    )
+    src = BinlogSource(spark, str(tmp_path / "ev"))
+    sl = src.read_slice(100, 200)
+    assert has_pushed_filters(sl)
+    plan = formatted_plan(sl)
+    assert "lsn" in plan.split("PushedFilters", 1)[1][:200]
