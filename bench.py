@@ -34,6 +34,9 @@ HEADLINE = [
     "dedup_exact",        # correctness-gated at sf0.01 but inherently
     "simhash_near_pairs",  # quadratic, so not a headline number
     "embedding_topk_pairs",
+    "embedding_lsh_pairs",
+    "candidate_view",
+    "corr_kendall",
     "ann_topk",
     "lang_id",
     "token_stats",
@@ -83,6 +86,47 @@ def bench_cdc_apply(cores: int) -> dict:
     }
 
 
+def _prev_round_bench() -> tuple[int, dict] | None:
+    """Latest BENCH_r{N}.json in the repo root (round-over-round diffing)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, dict] | None = None
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if not m:
+            continue
+        n = int(m.group(1))
+        if best is None or n > best[0]:
+            try:
+                with open(p) as f:
+                    best = (n, json.load(f))
+            except (OSError, json.JSONDecodeError):
+                continue
+    return best
+
+
+def query_deltas(timings: dict[str, float]) -> dict:
+    """Per-query % change vs the previous round's bench (negative =
+    faster); queries slower by >20% are flagged as regressions."""
+    prev = _prev_round_bench()
+    if prev is None:
+        return {}
+    n, prev_bench = prev
+    prev_q = prev_bench.get("queries", {})
+    deltas = {
+        k: round(100.0 * (v - prev_q[k]) / prev_q[k], 1)
+        for k, v in timings.items()
+        if k in prev_q and prev_q[k] > 0
+    }
+    return {
+        "vs_round": n,
+        "query_deltas_pct": deltas,
+        "regressions_gt_20pct": sorted(k for k, d in deltas.items() if d > 20.0),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -119,6 +163,7 @@ def main() -> None:
         "cdc_events": cdc["events"],
         "headline_total_sec": round(sum(timings.values()), 3),
     }
+    out.update(query_deltas(timings))
     print(json.dumps(out))
 
 

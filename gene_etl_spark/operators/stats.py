@@ -150,6 +150,57 @@ def corr_p_value(rho: float, n: int) -> float:
     return t_sf_two_sided(t, n - 2)
 
 
+def kendall_tau_b(x: np.ndarray, y: np.ndarray) -> tuple[float, float]:
+    """Kendall tau-b + asymptotic two-sided p-value, NumPy only (the
+    reference selects method="kendall" via scipy.stats.kendalltau,
+    etl/correlate.py:124-129; scipy is unavailable here, so tau-b and
+    the tie-corrected normal approximation of S's variance are computed
+    directly — scipy's 'asymptotic' branch).
+
+    Vectorized over the full sign matrix: fine for the per-cohort sample
+    vectors this kernel sees (n up to a few thousand); the relational
+    form (queries/relational3.py) bounds n explicitly instead.
+    """
+    import math
+
+    n = len(x)
+    if n < 2:
+        return float("nan"), float("nan")
+    dx = np.sign(x[:, None] - x[None, :])
+    dy = np.sign(y[:, None] - y[None, :])
+    iu = np.triu_indices(n, 1)
+    sx, sy = dx[iu], dy[iu]
+    s = float((sx * sy).sum())
+    n0 = n * (n - 1) / 2.0
+    ties_x = float((sx == 0).sum())
+    ties_y = float((sy == 0).sum())
+    denom = math.sqrt((n0 - ties_x) * (n0 - ties_y))
+    if denom == 0.0:
+        return float("nan"), float("nan")
+    tau = s / denom
+
+    def tie_terms(v):
+        _, counts = np.unique(v, return_counts=True)
+        t = counts[counts > 1].astype(float)
+        return (
+            float((t * (t - 1) * (2 * t + 5)).sum()),
+            float((t * (t - 1) * (t - 2)).sum()),
+            float((t * (t - 1)).sum()),
+        )
+
+    vx0, vx1, vx2 = tie_terms(x)
+    vy0, vy1, vy2 = tie_terms(y)
+    var_s = (n * (n - 1) * (2 * n + 5) - vx0 - vy0) / 18.0
+    if n > 2:
+        var_s += vx1 * vy1 / (9.0 * n * (n - 1) * (n - 2))
+    var_s += vx2 * vy2 / (2.0 * n * (n - 1))
+    if var_s <= 0.0:
+        return tau, float("nan")
+    z = s / math.sqrt(var_s)
+    p = math.erfc(abs(z) / math.sqrt(2.0))
+    return tau, p
+
+
 PAIR_P_SCHEMA = T.StructType(
     list(PAIR_SCHEMA.fields) + [T.StructField("p_value", T.DoubleType())]
 )
@@ -166,7 +217,12 @@ def pairwise_corr_with_p(
     round_to: int = 6,
 ) -> DataFrame:
     """Reference-parity kernel: per-cohort all-pairs rho + p-value
-    (etl/correlate.py:91-143), vectorized per cohort in one Arrow batch."""
+    (etl/correlate.py:91-143), vectorized per cohort in one Arrow batch.
+    method is one of pearson | spearman | kendall (the reference's
+    config-selectable set, etl/config.py:46-51); kendall uses the
+    NumPy tau-b above since pandas delegates kendall to scipy."""
+    if method not in ("pearson", "spearman", "kendall"):
+        raise ValueError(f"unknown correlation method: {method}")
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         cohort = pdf[cohort_col].iloc[0]
@@ -175,15 +231,28 @@ def pairwise_corr_with_p(
         )
         entities = sorted(wide.columns)
         wide = wide[entities]
-        corr = wide.corr(method=method, min_periods=1)
-        present = wide.notna().astype(np.int64)
-        n_mat = present.T.values @ present.values
+        corr = (
+            None
+            if method == "kendall"
+            else wide.corr(method=method, min_periods=1)
+        )
+        present = wide.notna()
+        n_mat = present.T.values.astype(np.int64) @ present.values.astype(np.int64)
+        vals = wide.values
+        pres = present.values
         rows = []
         for i in range(len(entities)):
             for j in range(i + 1, len(entities)):
                 n = int(n_mat[i, j])
-                rho = corr.iat[i, j]
-                if n >= min_samples and pd.notna(rho):
+                if n < min_samples:
+                    continue
+                if method == "kendall":
+                    mask = pres[:, i] & pres[:, j]
+                    rho, p = kendall_tau_b(vals[mask, i], vals[mask, j])
+                else:
+                    rho = corr.iat[i, j]
+                    p = corr_p_value(float(rho), n) if pd.notna(rho) else float("nan")
+                if pd.notna(rho):
                     rows.append(
                         (
                             cohort,
@@ -191,7 +260,7 @@ def pairwise_corr_with_p(
                             int(entities[j]),
                             round(float(rho), round_to),
                             n,
-                            round(corr_p_value(float(rho), n), 10),
+                            round(float(p), 10) if pd.notna(p) else None,
                         )
                     )
         return pd.DataFrame(rows, columns=[f.name for f in PAIR_P_SCHEMA.fields])

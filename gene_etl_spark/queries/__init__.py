@@ -35,11 +35,18 @@ def _ansi_off(fn):
 
 
 def all_queries():
-    from gene_etl_spark.queries import cdc, kernels, relational, relational2, textops
+    from gene_etl_spark.queries import (
+        cdc,
+        kernels,
+        relational,
+        relational2,
+        relational3,
+        textops,
+    )
 
     q: dict = {}
     o: dict = {}
-    for mod in (relational, relational2, textops, kernels, cdc):
+    for mod in (relational, relational2, relational3, textops, kernels, cdc):
         q.update({k: _ansi_off(v) for k, v in mod.QUERIES.items()})
         o.update(mod.ORACLES)
     return q, o

@@ -21,11 +21,41 @@ MINHASH_A = [_rng.randrange(1, MINHASH_P) for _ in range(NUM_HASHES)]
 MINHASH_B = [_rng.randrange(0, MINHASH_P) for _ in range(NUM_HASHES)]
 
 JACCARD_THRESHOLD = 0.3
+# Drop shingles whose document frequency exceeds this cap before the
+# pair-enumeration join: a stop-shingle in k docs contributes C(k,2)
+# join rows, so one ubiquitous bigram is a quadratic hot key at corpus
+# scale. Standard near-dup practice; mirrored in the DuckDB oracle.
+SHINGLE_DF_CAP = 50
 SIMHASH_BITS = 16
 SIMHASH_MAX_HAMMING = 3
+# Pigeonhole banding: any pair with hamming <= SIMHASH_MAX_HAMMING shares
+# at least one of (SIMHASH_MAX_HAMMING + 1) exact bands, so the near-pair
+# search is an equi-join on (band, band_bits), never a cartesian.
+SIMHASH_BANDS = SIMHASH_MAX_HAMMING + 1
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
 TOPK_PAIRS = 50
 ANN_K = 20
 IVF_K = 10
+
+# Random-hyperplane (SRP) LSH for embedding near-dup: deterministic
+# hyperplanes shared verbatim by the Spark exprs and the DuckDB oracle
+# (literal arrays, so no cross-engine float derivation). 8 planes ->
+# 256 buckets: enough collisions at test scale to exercise the re-rank;
+# at corpus scale raise NUM_HYPERPLANES (and/or OR multiple signature
+# bands) — the join stays an equi-join either way.
+EMB_DIM = 64
+NUM_HYPERPLANES = 8
+_hp_rng = random.Random(20260817)
+HYPERPLANES = [
+    [round(_hp_rng.uniform(-1.0, 1.0), 6) for _ in range(EMB_DIM)]
+    for _ in range(NUM_HYPERPLANES)
+]
+
+# candidate-view read model: cap the ranked candidate set so the global
+# rank window runs over a TakeOrdered prefix, not a single-partition sort
+CANDIDATE_MIN_ABS_RHO = 0.1
+CANDIDATE_TOPN = 500
+EXPORT_PAGE_ROWS = 1000
 
 # deliberately disjoint marker-word sets (the language-ID heuristic —
 # n-gram/stopword scoring with a deterministic argmax priority)

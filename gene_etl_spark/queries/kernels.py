@@ -69,6 +69,24 @@ def q_pairwise_corr_p(spark, sf_dir):
     )
 
 
+def q_pairwise_corr_kendall(spark, sf_dir):
+    """method="kendall" through the same kernel (reference
+    etl/correlate.py:124-129 selects kendalltau via config). tau-b and
+    its asymptotic p come from the NumPy implementation in
+    operators/stats.py (scipy absent); rows-only driver check — exact
+    tau values are unit-tested against scipy reference points and the
+    oracle-gated relational form (queries/relational3.py)."""
+    return pairwise_corr_with_p(
+        _long_matrix(spark, sf_dir),
+        cohort_col="cohort",
+        entity_col="entity",
+        sample_col="sample",
+        value_col="v",
+        method="kendall",
+        min_samples=MIN_PAIR_N,
+    )
+
+
 def q_multimodal_decode(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return decode_media(with_fake_payload(docs))
@@ -95,6 +113,7 @@ SQL_MULTIMODAL_DECODE = _sql_multimodal()
 QUERIES = {
     "pairwise_corr_kernel": q_pairwise_corr_kernel,
     "pairwise_corr_p": q_pairwise_corr_p,
+    "pairwise_corr_kendall": q_pairwise_corr_kendall,
     "multimodal_decode": q_multimodal_decode,
 }
 

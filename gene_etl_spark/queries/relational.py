@@ -409,10 +409,16 @@ FROM lineitem
 # (reference: models.py:244 rank; app.py:244-245 pagination)
 # --------------------------------------------------------------------- #
 def q_rank_page(spark, sf_dir):
+    """Only ranks <= 200 survive, so the plan takes the top 200 first
+    (TakeOrderedAndProject — per-partition heaps, no global sort) and
+    the rank window runs over those 200 rows instead of pushing the
+    whole table through a single-partition sort (the SURVEY.md §2.5
+    anti-pattern)."""
     orders = load(spark, sf_dir, "orders")
+    top = orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(200)
     w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
-        orders.withColumn("rank", F.row_number().over(w).cast("long"))
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
         .where((F.col("rank") > 100) & (F.col("rank") <= 200))
         .select("rank", "o_orderkey", F.round("o_totalprice", 2).alias("total_price"))
     )

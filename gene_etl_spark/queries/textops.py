@@ -20,6 +20,7 @@ from gene_etl_spark.queries.common import (
     ANN_K,
     BAND_SIZE,
     BPE_ISH_PATTERN,
+    HYPERPLANES,
     IVF_K,
     JACCARD_THRESHOLD,
     LANG_MARKERS,
@@ -28,7 +29,12 @@ from gene_etl_spark.queries.common import (
     MINHASH_B,
     MINHASH_P,
     NUM_HASHES,
+    NUM_HYPERPLANES,
+    SHINGLE_DF_CAP,
+    SIMHASH_BAND_BITS,
+    SIMHASH_BANDS,
     SIMHASH_BITS,
+    SIMHASH_MAX_HAMMING,
     STOPWORDS,
     TOKEN_P,
     TOPK_PAIRS,
@@ -145,10 +151,23 @@ FROM docs_norm
 # n-gram Jaccard near-dup pairs: shingle-explode → shared-shingle join →
 # |A∩B| / (|A|+|B|-|A∩B|)
 # --------------------------------------------------------------------- #
+def capped_shingles(spark, sf_dir) -> DataFrame:
+    """Hashed shingles with a document-frequency cap: shingles appearing
+    in more than SHINGLE_DF_CAP docs are dropped *before* pair
+    enumeration (a shingle in k docs contributes C(k,2) join rows — one
+    hot shingle is a quadratic skew key at corpus scale). Jaccard is
+    computed over the capped shingle sets on both engines."""
+    s = doc_shingles(spark, sf_dir).select("doc_id", md5_long("sh").alias("shh"))
+    df_counts = s.groupBy("shh").agg(F.count(F.lit(1)).alias("df"))
+    return s.join(
+        df_counts.where(F.col("df") <= SHINGLE_DF_CAP).select("shh"), "shh"
+    )
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     # join on the 60-bit shingle hash, not the string: same semantics in
     # both engines (hash applied in the oracle too), ~3× cheaper shuffle
-    s = doc_shingles(spark, sf_dir).select("doc_id", md5_long("sh").alias("shh"))
+    s = capped_shingles(spark, sf_dir)
     cnt = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
     a = s.select(F.col("doc_id").alias("doc_a"), "shh")
     b = s.select(F.col("doc_id").alias("doc_b"), "shh")
@@ -173,8 +192,13 @@ SQL_DEDUP_NGRAM_JACCARD = (
     "WITH "
     + SQL_SHINGLES.strip()
     + f""",
-hashed AS (
+hashed_all AS (
   SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS shh FROM shingles
+),
+hashed AS (
+  SELECT doc_id, shh FROM hashed_all
+  WHERE shh IN (SELECT shh FROM hashed_all GROUP BY 1
+                HAVING COUNT(*) <= {SHINGLE_DF_CAP})
 ),
 cnt AS (SELECT doc_id, COUNT(*) AS ns FROM hashed GROUP BY 1),
 pairs AS (
@@ -234,25 +258,35 @@ sig AS (
 SQL_DEDUP_MINHASH = "WITH " + _sql_minhash_sig() + "\nSELECT * FROM sig\n"
 
 
-def q_dedup_minhash_lsh(spark, sf_dir):
-    """LSH candidate pairs: docs sharing any band bucket."""
+def lsh_buckets(spark, sf_dir) -> DataFrame:
+    """(doc_id, band, bucket) in ONE pass: the signature aggregate is
+    computed once and the band buckets come out of a single
+    explode(array(struct...)) — not one union branch per band, which
+    would re-derive the shingle→minhash subtree NUM_BANDS times."""
     sig = minhash_signatures(spark, sf_dir)
-    bands = []
+    entries = []
     for band in range(NUM_BANDS):
         cols = [
             F.col(f"mh{i}").cast("string")
             for i in range(band * BAND_SIZE, (band + 1) * BAND_SIZE)
         ]
-        bands.append(
-            sig.select(
-                "doc_id",
+        entries.append(
+            F.struct(
                 F.lit(band).alias("band"),
                 md5_long(F.concat_ws("_", *cols)).alias("bucket"),
             )
         )
-    buckets = bands[0]
-    for b in bands[1:]:
-        buckets = buckets.unionByName(b)
+    return sig.select("doc_id", F.explode(F.array(*entries)).alias("e")).select(
+        "doc_id", F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket")
+    )
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """LSH candidate pairs: docs sharing any band bucket. The self-join's
+    two sides shuffle the identical (band, bucket) subtree, so the
+    exchange is planned once and reused (ReusedExchange) — one signature
+    agg, one explode, one join."""
+    buckets = lsh_buckets(spark, sf_dir)
     a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     b2 = buckets.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     return (
@@ -346,15 +380,46 @@ simhash_sig AS (
 SQL_DEDUP_SIMHASH = "WITH " + _sql_simhash_sig() + "\nSELECT doc_id, simhash FROM simhash_sig\n"
 
 
-def q_simhash_near_pairs(spark, sf_dir):
+def simhash_bands(spark, sf_dir) -> DataFrame:
+    """(doc_id, simhash, band, bits): the 16-bit signature split into
+    SIMHASH_BANDS exact bands via one explode — the pigeonhole index for
+    hamming-bounded search."""
     sig = simhash_signatures(spark, sf_dir)
-    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
-    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    entries = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.shiftright("simhash", band * SIMHASH_BAND_BITS)
+            .bitwiseAND(F.lit(mask))
+            .alias("bits"),
+        )
+        for band in range(SIMHASH_BANDS)
+    ]
+    return sig.select("doc_id", "simhash", F.explode(F.array(*entries)).alias("e")).select(
+        "doc_id", "simhash", F.col("e.band").alias("band"), F.col("e.bits").alias("bits")
+    )
+
+
+def q_simhash_near_pairs(spark, sf_dir):
+    """Hamming-bounded near pairs WITHOUT a cartesian: split the
+    signature into SIMHASH_MAX_HAMMING + 1 bands — a pair within the
+    hamming budget must agree exactly on at least one band (pigeonhole),
+    so candidates come from an equi-join on (band, bits) and the exact
+    ``bit_count(xor)`` post-filter keeps semantics identical to the
+    all-pairs form (the DuckDB oracle still states the naive form)."""
+    banded = simhash_bands(spark, sf_dir)
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "band", "bits"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), "band", "bits"
+    )
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .where(ham <= 3)
+        a.join(b, ["band", "bits"])
+        .where((F.col("doc_a") < F.col("doc_b")) & (ham <= SIMHASH_MAX_HAMMING))
         .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+        .distinct()
     )
 
 
@@ -457,6 +522,78 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 ORDER BY cosine DESC, vec_a ASC, vec_b ASC
 LIMIT {TOPK_PAIRS}
 """
+
+
+def embedding_srp_buckets(spark, sf_dir) -> DataFrame:
+    """(vec_id, emb, bucket): sign-random-projection LSH signature as
+    pure column expressions. Each of NUM_HYPERPLANES deterministic
+    hyperplanes (module constants, shared verbatim with the DuckDB
+    oracle) contributes one sign bit; the packed bits are the bucket.
+    Cosine-near vectors agree on most signs, so they collide — the
+    equi-joinable analogue of MinHash banding for embeddings."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    bucket = None
+    for p, plane in enumerate(HYPERPLANES):
+        hp = F.array(*[F.lit(float(v)) for v in plane])
+        dot = F.aggregate(
+            F.zip_with(F.col("emb"), hp, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else (bucket + bit)
+    return e.select("vec_id", "emb", bucket.cast("long").alias("bucket"))
+
+
+def q_embedding_lsh_pairs(spark, sf_dir):
+    """Scale-path embedding near-dup: SRP-LSH bucket equi-join + exact
+    cosine re-rank. No driver collect, no broadcast matrix, no cartesian
+    — candidates come only from same-bucket collisions, then the exact
+    cosine orders the final top-k. ``q_embedding_topk_pairs`` remains the
+    small-N exhaustive twin; this is the shape that survives 10^9
+    vectors (raise NUM_HYPERPLANES / OR multiple bands to tune recall
+    vs candidate volume)."""
+    sig = embedding_srp_buckets(spark, sf_dir)
+    a = sig.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"), "bucket")
+    b = sig.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"), "bucket")
+    cos = F.round(_cos(F.col("ea"), F.col("eb")), 5)
+    return (
+        a.join(b, "bucket")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b"))
+        .limit(TOPK_PAIRS)
+    )
+
+
+def _sql_embedding_lsh() -> str:
+    bits = []
+    for p, plane in enumerate(HYPERPLANES):
+        arr = "[" + ", ".join(str(v) for v in plane) + "]"
+        bits.append(
+            f"(CASE WHEN list_dot_product(emb, {arr}) >= 0 THEN {1 << p} ELSE 0 END)"
+        )
+    bucket = "\n         + ".join(bits)
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings
+), sig AS (
+  SELECT vec_id, emb,
+         ({bucket})::BIGINT AS bucket
+  FROM e
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_cosine_similarity(a.emb, b.emb), 5) AS cosine
+FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+ORDER BY cosine DESC, vec_a ASC, vec_b ASC
+LIMIT {TOPK_PAIRS}
+"""
+
+
+SQL_EMBEDDING_LSH_PAIRS = _sql_embedding_lsh()
 
 
 def q_ann_topk(spark, sf_dir):
@@ -729,6 +866,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "simhash_near_pairs": q_simhash_near_pairs,
     "embedding_topk_pairs": q_embedding_topk_pairs,
+    "embedding_lsh_pairs": q_embedding_lsh_pairs,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "lang_id": q_lang_id,
@@ -746,6 +884,7 @@ ORACLES = {
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "simhash_near_pairs": SQL_SIMHASH_NEAR_PAIRS,
     "embedding_topk_pairs": SQL_EMBEDDING_TOPK_PAIRS,
+    "embedding_lsh_pairs": SQL_EMBEDDING_LSH_PAIRS,
     "ann_topk": SQL_ANN_TOPK,
     "ann_ivf": SQL_ANN_IVF,
     "lang_id": SQL_LANG_ID,

@@ -107,6 +107,106 @@ def test_plan_shapes(spark):
     assert broadcast_join_count(q_dim_join(spark, sf)) == 2
 
 
+def test_kendall_tau_matches_reference_values():
+    """scipy.stats.kendalltau parity points (scipy unavailable in this
+    container; expected values are scipy's published doc example plus
+    hand-checked exact cases)."""
+    import numpy as np
+
+    from gene_etl_spark.operators.stats import kendall_tau_b
+
+    tau, p = kendall_tau_b(
+        np.array([12.0, 2.0, 1.0, 12.0, 2.0]), np.array([1.0, 4.0, 7.0, 1.0, 0.0])
+    )
+    assert abs(tau - (-0.47140452079103173)) < 1e-12
+    assert abs(p - 0.2827454599327748) < 1e-10
+    tau, _ = kendall_tau_b(np.arange(8.0), np.arange(8.0)[::-1])
+    assert tau == -1.0
+    tau, _ = kendall_tau_b(np.arange(8.0), np.arange(8.0))
+    assert tau == 1.0
+
+
+def test_similarity_plans_have_no_cartesian(spark):
+    """The near-pair family must plan hash equi-joins (banded/bucketed),
+    never a cartesian or nested-loop — the 100 TB shape."""
+    from gene_etl_spark.plans import formatted_plan
+    from gene_etl_spark.queries.textops import (
+        q_dedup_minhash_lsh,
+        q_embedding_lsh_pairs,
+        q_simhash_near_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    for q in (q_simhash_near_pairs, q_embedding_lsh_pairs, q_dedup_minhash_lsh):
+        plan = formatted_plan(q(spark, sf))
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+
+
+def test_rank_page_uses_take_ordered(spark):
+    """Pagination must prefix the rank window with a top-N
+    (TakeOrderedAndProject: per-partition heaps) instead of sorting the
+    whole table through one task."""
+    from gene_etl_spark.plans import formatted_plan
+    from gene_etl_spark.queries.relational import q_rank_page
+
+    plan = formatted_plan(q_rank_page(spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_shingle_df_cap_bounds_hot_shingle(spark, tmp_path):
+    """Skew guard: a shingle present in every document is dropped before
+    pair enumeration, so one ubiquitous bigram cannot contribute C(n,2)
+    join rows."""
+    from gene_etl_spark.queries.common import SHINGLE_DF_CAP
+    from gene_etl_spark.queries.textops import capped_shingles, doc_shingles
+
+    n = SHINGLE_DF_CAP + 70
+    rows = [(i, "en", f"common token filler{i} tail{i}") for i in range(n)]
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    # the hot shingle really is ubiquitous pre-cap...
+    raw_max = (
+        doc_shingles(spark, str(tmp_path))
+        .groupBy("sh")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert raw_max == n
+    # ...and gone post-cap: per-shingle df (== pair-join fan-out driver)
+    # is bounded by the cap
+    capped_max = (
+        capped_shingles(spark, str(tmp_path))
+        .groupBy("shh")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert capped_max is not None and capped_max <= SHINGLE_DF_CAP
+
+
+def test_export_paged_respects_page_size(spark, tmp_path):
+    """S7 export sink: no output file exceeds the page-row cap and the
+    round-trip preserves every row (reference pages exports at 100k
+    rows/file, etl/io.py:289-335)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from gene_etl_spark.queries.relational3 import export_paged
+
+    df = spark.range(5000).select(F.col("id"), (F.col("id") % 7).alias("v"))
+    out = str(tmp_path / "export")
+    export_paged(df, out, page_rows=1000)
+    files = glob.glob(out + "/*.parquet")
+    assert files
+    assert all(pq.ParquetFile(f).metadata.num_rows <= 1000 for f in files)
+    assert spark.read.parquet(out).count() == 5000
+
+
 def test_slice_read_pushes_lsn_bounds(spark, tmp_path):
     """The binlog slice predicate must reach the Parquet scan (row-group
     pruning) — the property that lets the same code tail a 10^10-event
