@@ -96,9 +96,19 @@ def expire_snapshots(table: LakeTable, keep_last: int = 10) -> dict:
     return {"expired": expired, "kept_from": max(cutoff + 1, 0)}
 
 
-def vacuum(table: LakeTable, dry_run: bool = False) -> dict:
+def vacuum(
+    table: LakeTable, dry_run: bool = False, older_than_sec: float = 600.0
+) -> dict:
     """Delete data files not referenced by any live (or expired-but-kept)
-    manifest — failed/uncommitted writes and superseded bucket rewrites."""
+    manifest — failed/uncommitted writes and superseded bucket rewrites.
+
+    ``older_than_sec`` is the concurrent-writer grace window (Iceberg
+    remove_orphan_files ``older_than`` analogue): a merge in flight in
+    another process writes its commit directory *before* its manifest
+    hard-link lands, so files younger than the window are never
+    reclaimed even though no manifest references them yet. Pass 0 only
+    when the caller owns exclusive write access."""
+    now = time.time()
     live: set[str] = set()
     mdir = os.path.join(table.path, MANIFEST_DIR)
     for fn in os.listdir(mdir):
@@ -118,7 +128,7 @@ def vacuum(table: LakeTable, dry_run: bool = False) -> dict:
         for fn in files:
             full = os.path.join(root, fn)
             rel = os.path.relpath(full, table.path)
-            if rel not in live:
+            if rel not in live and now - os.path.getmtime(full) >= older_than_sec:
                 removed += 1
                 if not dry_run:
                     os.unlink(full)

@@ -259,29 +259,41 @@ class LakeTable:
         partition discovery, and files predating a schema evolution read
         the new columns as null.
 
-        Merge-on-read resolution: buckets carrying delta files are
-        resolved on the fly — base rows and delta rows (which keep their
-        op and LSN) fold through the same ``max_by``-LWW aggregate the
-        ingest path uses, and winning tombstones drop the key. Buckets
-        without deltas read base files directly (no resolve cost).
+        Merge-on-read resolution is strictly per-bucket: only buckets
+        carrying delta files pay the resolve cost — their base∪delta
+        rows fold through the same ``max_by``-LWW aggregate the ingest
+        path uses (winning tombstones drop the key) and the groupBy
+        shuffles only those buckets' rows. Clean buckets are scanned
+        directly and unioned in, so one delta-carrying bucket never
+        forces a full-table aggregation on a wide read (the 10^10-row
+        design point).
         """
         from pyspark.sql import functions as F
 
         m = manifest or self.manifest
         phys = self._physical_schema(m)
-        base_files = self._files_for(buckets, manifest=m)
-        delta_files = self._files_for(buckets, kind="deltas", manifest=m)
-        if not delta_files:
-            df = self._scan(base_files, phys)
-            return df if include_meta else df.drop(LSN_COL)
+        files_map = m.get("files", {}) or {}
+        delta_map = m.get("deltas", {}) or {}
+        requested = (
+            [str(b) for b in buckets]
+            if buckets is not None
+            else sorted(set(files_map) | set(delta_map), key=int)
+        )
+        dirty = [int(b) for b in requested if delta_map.get(b)]
+        clean = [int(b) for b in requested if not delta_map.get(b)]
+        clean_df = self._scan(self._files_for(clean, manifest=m), phys)
+        if not dirty:
+            return clean_df if include_meta else clean_df.drop(LSN_COL)
 
         import pyspark.sql.types as T
 
         delta_schema = T.StructType(
             list(phys.fields) + [T.StructField(OP_COL, T.StringType(), True)]
         )
-        base = self._scan(base_files, phys).withColumn(OP_COL, F.lit("U"))
-        deltas = self._scan(delta_files, delta_schema)
+        base = self._scan(self._files_for(dirty, manifest=m), phys).withColumn(
+            OP_COL, F.lit("U")
+        )
+        deltas = self._scan(self._files_for(dirty, kind="deltas", manifest=m), delta_schema)
         combined = base.unionByName(deltas)
         keys = list(m["key_cols"])
         payload = [c for c in combined.columns if c not in keys]
@@ -297,9 +309,10 @@ class LakeTable:
             .agg(winner)
             .select(*keys, "_w.*")
             .where(F.col(OP_COL) != "D")
-            .drop(OP_COL)
+            .select(*[F.col(f.name) for f in phys.fields])
         )
-        return resolved if include_meta else resolved.drop(LSN_COL)
+        out = clean_df.unionByName(resolved)
+        return out if include_meta else out.drop(LSN_COL)
 
     # ------------------------------------------------------------------ #
     # write path (MERGE lives in lake/merge.py, bound here)

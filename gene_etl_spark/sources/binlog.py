@@ -38,7 +38,13 @@ class BinlogSource:
         self.spark = spark
         self.path = path
         self._schema = schema
-        self._schema_groups: list[tuple[tuple[str, ...], list[str]]] | None = None
+        self._user_schema = schema is not None
+        # footer schemas cached per file path (tranche files are
+        # immutable); the file LISTING is never cached — a long-lived
+        # runner tailing a growing log must see tranches that appear
+        # after its first read, so _groups() re-lists on every call.
+        self._footer_cache: dict[str, tuple[str, ...]] = {}
+        self._last_fileset: tuple[str, ...] = ()
 
     # ------------------------------------------------------------------ #
     def files(self) -> list[str]:
@@ -47,24 +53,36 @@ class BinlogSource:
     @property
     def schema(self) -> T.StructType:
         if self._schema is None:
-            # union of all tranche schemas, in first-seen field order
-            fields: dict[str, T.StructField] = {}
-            for _cols, fs in self._groups():
-                df = self.spark.read.parquet(fs[0])
-                for f in df.schema.fields:
-                    fields.setdefault(f.name, f)
-            self._schema = T.StructType(list(fields.values()))
+            self._groups()  # refresh + derive
+            if self._schema is None:  # empty log directory
+                return T.StructType([])
         return self._schema
 
     def _groups(self) -> list[tuple[tuple[str, ...], list[str]]]:
-        """Group tranche files by physical column set (footer-only reads)."""
-        if self._schema_groups is None:
-            groups: dict[tuple[str, ...], list[str]] = {}
-            for f in self.files():
+        """Group tranche files by physical column set. Re-lists the
+        directory every call (new tranches appear between batches);
+        footer reads hit the per-path cache, so the steady-state cost is
+        one directory listing."""
+        groups: dict[tuple[str, ...], list[str]] = {}
+        for f in self.files():
+            cols = self._footer_cache.get(f)
+            if cols is None:
                 cols = tuple(pq.ParquetFile(f).schema_arrow.names)
-                groups.setdefault(cols, []).append(f)
-            self._schema_groups = list(groups.items())
-        return self._schema_groups
+                self._footer_cache[f] = cols
+            groups.setdefault(cols, []).append(f)
+        fileset = tuple(sorted(self._footer_cache))
+        if fileset != self._last_fileset:
+            self._last_fileset = fileset
+            if not self._user_schema:
+                # re-derive the declared union schema: a new tranche may
+                # carry evolved columns (first-seen field order kept)
+                fields: dict[str, T.StructField] = {}
+                for _cols, fs in groups.items():
+                    df = self.spark.read.parquet(fs[0])
+                    for fld in df.schema.fields:
+                        fields.setdefault(fld.name, fld)
+                self._schema = T.StructType(list(fields.values()))
+        return list(groups.items())
 
     # ------------------------------------------------------------------ #
     def read_slice(self, start_lsn: int, end_lsn: int) -> DataFrame:

@@ -6,10 +6,20 @@ streaming is sugar over the same LSN-slice application). Exactly-once
 composes from three layers:
 
 - Spark's streaming checkpoint tracks which files each epoch consumed;
-- each epoch's MERGE is fenced by ``batch_id = stream-epoch-{id}`` in
-  the lake snapshot chain, so a replayed epoch (post-crash) is skipped;
+- each epoch's MERGE is fenced by ``batch_id =
+  stream-{checkpoint_fingerprint}-epoch-{id}`` in the lake snapshot
+  chain, so a replayed epoch (post-crash, same checkpoint) is skipped.
+  The fence key is namespaced by the checkpoint directory because Spark
+  restarts epoch numbering at 0 for a new/changed checkpoint — an
+  unnamespaced ``stream-epoch-0`` from an earlier run would silently
+  swallow the new run's first epochs;
 - the per-row ``(lsn, ts)`` guard in the MERGE makes even a forced
   re-apply converge.
+
+Each committed epoch records its actual ``[min_lsn, max_lsn]`` in both
+the ledger and the snapshot properties, so a subsequent *batch* run's
+``Ledger.resume_lsn()`` reconciles correctly after stream-only ingest
+instead of replanning the whole log from scratch.
 
 Late/out-of-order data: intra-epoch disorder is resolved by the LWW
 window; cross-epoch disorder by the MERGE guard (a later-arriving lower
@@ -21,6 +31,7 @@ consumed in modification-time order, which the tranche writer provides).
 
 from __future__ import annotations
 
+import os
 import time
 
 from pyspark.sql import SparkSession
@@ -62,28 +73,50 @@ def ingest_stream(
     metrics = MetricsTable(spark, config.metrics_path)
     applied = {"epochs": 0, "events": 0}
 
+    import hashlib
+
+    ckpt_fp = hashlib.md5(
+        os.path.abspath(checkpoint_dir).encode("utf-8")
+    ).hexdigest()[:8]
+
     def apply_epoch(df, epoch_id: int) -> None:
-        batch_id = f"stream-epoch-{epoch_id}"
+        batch_id = f"stream-{ckpt_fp}-epoch-{epoch_id}"
         if batch_id in table.committed_batches():
-            return  # fenced: epoch replayed after a crash
+            return  # fenced: epoch replayed after a crash (same checkpoint)
+        from pyspark.sql import functions as F
         from pyspark.storagelevel import StorageLevel
 
         cached = df.persist(StorageLevel.MEMORY_AND_DISK)
         try:
-            n = cached.count()
+            bounds = cached.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("lsn").alias("lo"),
+                F.max("lsn").alias("hi"),
+            ).collect()[0]
+            n = bounds["n"]
             if n == 0:
                 return
+            # (start, end] convention shared with the batch planner: the
+            # recorded range makes Ledger.resume_lsn() land at this
+            # epoch's high-water mark for any later batch run
+            start_lsn, end_lsn = int(bounds["lo"]) - 1, int(bounds["hi"])
             deduped = lww_dedup(
                 cached,
                 key_cols=config.key_cols,
                 order_cols=("lsn", "ts"),
                 num_salts=config.num_salts if n >= config.salt_threshold else 1,
             )
-            result = table.merge(deduped, batch_id=batch_id, mode=config.merge_mode)
+            result = table.merge(
+                deduped,
+                batch_id=batch_id,
+                mode=config.merge_mode,
+                start_lsn=start_lsn,
+                end_lsn=end_lsn,
+            )
             ledger.record(
                 batch_id=batch_id,
-                start_lsn=-1,
-                end_lsn=-1,
+                start_lsn=start_lsn,
+                end_lsn=end_lsn,
                 status="committed",
                 snapshot_version=result.snapshot_version,
                 extra={"events_read": n, "stream_epoch": epoch_id},

@@ -54,7 +54,11 @@ def test_time_travel_and_maintenance(spark, workdir):
     # vacuum: superseded bucket rewrites are reclaimable once snapshots
     # expire; live files survive
     expire_snapshots(table, keep_last=1)
-    stats = vacuum(table)
+    # default grace window protects just-written files of a concurrent
+    # in-flight commit (manifest not yet linked): nothing is reclaimed
+    assert vacuum(table)["removed_files"] == 0
+    # single-writer maintenance passes 0: superseded rewrites reclaimed
+    stats = vacuum(table, older_than_sec=0.0)
     assert stats["removed_files"] > 0
     assert_replay_equal(table.read().toPandas(), expected)
 

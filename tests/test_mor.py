@@ -95,6 +95,44 @@ def test_mor_resume_and_fencing(spark, workdir):
     assert res["skipped"]
 
 
+def test_mor_read_resolves_only_delta_buckets(spark, workdir):
+    """The read path partitions buckets into delta-carrying vs clean:
+    clean buckets scan base files directly (no LWW aggregate), so one
+    delta-carrying bucket never forces a full-table groupBy on a wide
+    read."""
+    from gene_etl_spark.plans import formatted_plan
+
+    generate_change_stream(
+        os.path.join(workdir, "events"), n_convs=30, max_turns=10,
+        n_events=2000, seed=33, n_tranches=2,
+    )
+    # batch 1 as CoW: base files across 64 buckets
+    cfg_cow = make_cfg(
+        workdir, slice_lsn_width=1000, merge_mode="cow", num_buckets=64
+    )
+    r1 = CdcIngestRunner(spark, cfg_cow)
+    r1.apply_batch(0, 1000)
+    # a narrow MoR slice: deltas land in a subset of buckets
+    cfg_mor = make_cfg(workdir, slice_lsn_width=1000, num_buckets=64)
+    r2 = CdcIngestRunner(spark, cfg_mor)
+    r2.apply_batch(1000, 1100)
+    table = r2.table
+    dirty = set(table.delta_buckets())
+    assert dirty
+    clean = [b for b in range(64) if b not in dirty]
+    assert clean  # the slice must not have touched every bucket
+
+    # clean-bucket read: pure scan, no resolve aggregate
+    assert "Aggregate" not in formatted_plan(table.read(buckets=clean[:4]))
+    # full read: resolve aggregate present (for the dirty buckets only)
+    assert "Aggregate" in formatted_plan(table.read())
+    # and the union'd read is still exactly the oracle state
+    assert_replay_equal(
+        table.read().toPandas(),
+        materialize_expected(cfg_mor.events_path, up_to_lsn=1100),
+    )
+
+
 def test_mor_interop_with_cow(spark, workdir):
     """A CoW merge over a table carrying MoR deltas folds and clears them."""
     generate_change_stream(

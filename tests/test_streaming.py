@@ -45,3 +45,58 @@ def test_streaming_ingest_equals_oracle(spark, workdir):
     again = ingest_stream(spark, cfg, ckpt, max_files_per_trigger=2)
     assert again["events"] == 0
     assert LakeTable.load(spark, cfg.lake_path).version == v
+
+    # stream commits record real LSN bounds: a later batch run resumes at
+    # the stream's high-water mark instead of replaying the log from -1
+    from gene_etl_spark.ledger import Ledger
+
+    assert Ledger(cfg.ledger_path).resume_lsn(table) == 3000
+    assert table.max_committed_end_lsn() == 3000
+
+    # a NEW checkpoint restarts epoch ids at 0 — the fence key is
+    # namespaced per checkpoint, so those epochs must NOT be silently
+    # swallowed by the old run's "epoch-0" commit; the replay applies
+    # (and converges to the same state via the LWW guard)
+    fresh = ingest_stream(
+        spark, cfg, os.path.join(workdir, "ckpt2"), max_files_per_trigger=2
+    )
+    assert fresh["events"] == 3000  # replayed, not skipped
+    table2 = LakeTable.load(spark, cfg.lake_path)
+    assert table2.version > v
+    assert_replay_equal(
+        table2.read().toPandas(), materialize_expected(cfg.events_path)
+    )
+
+
+def test_binlog_source_sees_appended_tranches(spark, workdir):
+    """A long-lived runner tailing a growing log must see tranches added
+    after its first read (the file listing is never cached)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from gene_etl_spark.sources.binlog import BinlogSource
+
+    ev_dir = os.path.join(workdir, "events")
+    generate_change_stream(
+        ev_dir, n_convs=10, max_turns=5, n_events=400, seed=7, n_tranches=2,
+        evolve_at_frac=0.0,
+    )
+    src = BinlogSource(spark, ev_dir)
+    first_max = src.max_lsn()
+    assert first_max == 400
+    assert src.plan_batches(0, 200)[-1][1] == 400
+
+    # append a tranche with higher LSNs (same physical schema)
+    t = pq.read_table(os.path.join(ev_dir, sorted(os.listdir(ev_dir))[-1]))
+    t = t.set_column(
+        t.schema.get_field_index("lsn"),
+        "lsn",
+        pc.add(t["lsn"], 1000),
+    )
+    pq.write_table(t, os.path.join(ev_dir, "zzz-appended.parquet"))
+
+    assert src.max_lsn() > first_max
+    assert src.plan_batches(first_max, 10_000) != []
+    hi = src.max_lsn()
+    got = src.read_slice(first_max, hi).count()
+    assert got == t.num_rows
