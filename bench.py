@@ -114,7 +114,10 @@ def query_deltas(timings: dict[str, float]) -> dict:
     if prev is None:
         return {}
     n, prev_bench = prev
-    prev_q = prev_bench.get("queries", {})
+    # the driver stores bench output wrapped: {"n":..., "parsed": {...}}
+    prev_q = prev_bench.get("queries") or prev_bench.get("parsed", {}).get(
+        "queries", {}
+    )
     deltas = {
         k: round(100.0 * (v - prev_q[k]) / prev_q[k], 1)
         for k, v in timings.items()

@@ -27,12 +27,25 @@ JACCARD_THRESHOLD = 0.3
 # scale. Standard near-dup practice; mirrored in the DuckDB oracle.
 SHINGLE_DF_CAP = 50
 SIMHASH_BITS = 16
-SIMHASH_MAX_HAMMING = 3
+# Radius 2, not 3: over a 16-bit sketch, hamming <= 3 labels ~22% of
+# RANDOM pairs "near" (Binomial(16, 1/2) <= 3 is not rare) — the output
+# relation itself is quadratically dense, which no join strategy can
+# save. Radius <= 2 is the discriminative setting (~0.2% density), and
+# at real corpus scale SIMHASH_BITS grows with log2(n) so each band
+# keeps ~O(1) docs per bucket.
+SIMHASH_MAX_HAMMING = 2
 # Pigeonhole banding: any pair with hamming <= SIMHASH_MAX_HAMMING shares
 # at least one of (SIMHASH_MAX_HAMMING + 1) exact bands, so the near-pair
-# search is an equi-join on (band, band_bits), never a cartesian.
+# search is an equi-join on (band, band_bits), never a cartesian. Bands
+# split the sketch as evenly as possible (widths differ by <= 1 bit).
 SIMHASH_BANDS = SIMHASH_MAX_HAMMING + 1
-SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+_w, _extra = divmod(SIMHASH_BITS, SIMHASH_BANDS)
+SIMHASH_BAND_RANGES: list[tuple[int, int]] = []  # (start_bit, width)
+_start = 0
+for _i in range(SIMHASH_BANDS):
+    _width = _w + (1 if _i < _extra else 0)
+    SIMHASH_BAND_RANGES.append((_start, _width))
+    _start += _width
 TOPK_PAIRS = 50
 ANN_K = 20
 IVF_K = 10

@@ -31,8 +31,7 @@ from gene_etl_spark.queries.common import (
     NUM_HASHES,
     NUM_HYPERPLANES,
     SHINGLE_DF_CAP,
-    SIMHASH_BAND_BITS,
-    SIMHASH_BANDS,
+    SIMHASH_BAND_RANGES,
     SIMHASH_BITS,
     SIMHASH_MAX_HAMMING,
     STOPWORDS,
@@ -46,8 +45,22 @@ NUM_BANDS = NUM_HASHES // BAND_SIZE
 # --------------------------------------------------------------------- #
 # shared building blocks (Spark side + the SQL CTE that mirrors them)
 # --------------------------------------------------------------------- #
+def _fan_out_small_scan(df: DataFrame) -> DataFrame:
+    """Downstream operators here explode each row ~50× (shingles,
+    tokens) and run wide aggregates — CPU-heavy map work. A small input
+    (one parquet file → one split) would serialize all of it on a
+    single task, so widen parallelism when the scan has fewer splits
+    than cores. At corpus scale the scan already has >> cores splits
+    and this is a no-op (no shuffle is ever added on the big-data
+    path)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def docs_norm(spark, sf_dir) -> DataFrame:
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _fan_out_small_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
     return d.select("doc_id", "lang", "text", norm.alias("norm"))
 
@@ -159,9 +172,13 @@ def capped_shingles(spark, sf_dir) -> DataFrame:
     computed over the capped shingle sets on both engines."""
     s = doc_shingles(spark, sf_dir).select("doc_id", md5_long("sh").alias("shh"))
     df_counts = s.groupBy("shh").agg(F.count(F.lit(1)).alias("df"))
-    return s.join(
+    out = s.join(
         df_counts.where(F.col("df") <= SHINGLE_DF_CAP).select("shh"), "shh"
     )
+    # the shingle table feeds four branches (df filter, per-doc counts,
+    # both pair-join sides): materialize it once — the same "build the
+    # posting list, then join it" shape a corpus-scale pipeline uses
+    return out.persist()
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
@@ -259,41 +276,53 @@ SQL_DEDUP_MINHASH = "WITH " + _sql_minhash_sig() + "\nSELECT * FROM sig\n"
 
 
 def lsh_buckets(spark, sf_dir) -> DataFrame:
-    """(doc_id, band, bucket) in ONE pass: the signature aggregate is
-    computed once and the band buckets come out of a single
-    explode(array(struct...)) — not one union branch per band, which
-    would re-derive the shingle→minhash subtree NUM_BANDS times."""
+    """(doc_id, bkts, band, bucket) in ONE pass: the signature aggregate
+    is computed once and the band buckets come out of a single
+    posexplode — not one union branch per band, which would re-derive
+    the shingle→minhash subtree NUM_BANDS times. ``bkts`` (the full
+    per-doc bucket vector) rides along so the pair join can dedup by
+    first-collision band instead of a distinct shuffle. Persisted: the
+    sketch table is O(n_docs) tiny and both self-join sides read it."""
     sig = minhash_signatures(spark, sf_dir)
-    entries = []
+    bucket_cols = []
     for band in range(NUM_BANDS):
         cols = [
             F.col(f"mh{i}").cast("string")
             for i in range(band * BAND_SIZE, (band + 1) * BAND_SIZE)
         ]
-        entries.append(
-            F.struct(
-                F.lit(band).alias("band"),
-                md5_long(F.concat_ws("_", *cols)).alias("bucket"),
-            )
-        )
-    return sig.select("doc_id", F.explode(F.array(*entries)).alias("e")).select(
-        "doc_id", F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket")
+        bucket_cols.append(md5_long(F.concat_ws("_", *cols)))
+    out = sig.select("doc_id", F.array(*bucket_cols).alias("bkts")).select(
+        "doc_id", "bkts", F.posexplode("bkts").alias("band", "bucket")
     )
+    return out.persist()
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """LSH candidate pairs: docs sharing any band bucket. The self-join's
-    two sides shuffle the identical (band, bucket) subtree, so the
-    exchange is planned once and reused (ReusedExchange) — one signature
-    agg, one explode, one join."""
+    """LSH candidate pairs: docs sharing any band bucket — a hash
+    equi-join on (band, bucket). Each qualifying pair is emitted exactly
+    once, at its FIRST matching band (earlier bands must differ), which
+    replaces the distinct() with a row-local predicate — no dedup
+    shuffle over the candidate set."""
     buckets = lsh_buckets(spark, sf_dir)
-    a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
-    b2 = buckets.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    a = buckets.select(
+        F.col("doc_id").alias("doc_a"), F.col("bkts").alias("ba"), "band", "bucket"
+    )
+    b2 = buckets.select(
+        F.col("doc_id").alias("doc_b"), F.col("bkts").alias("bb"), "band", "bucket"
+    )
+    first_collision = F.lit(True)
+    for k in range(1, NUM_BANDS):
+        earlier_differ = None
+        for j in range(k):
+            c = F.col("ba")[j] != F.col("bb")[j]
+            earlier_differ = c if earlier_differ is None else (earlier_differ & c)
+        first_collision = first_collision & F.when(
+            F.col("band") == k, earlier_differ
+        ).otherwise(F.lit(True))
     return (
         a.join(b2, ["band", "bucket"])
-        .where(F.col("doc_a") < F.col("doc_b"))
+        .where((F.col("doc_a") < F.col("doc_b")) & first_collision)
         .select("doc_a", "doc_b")
-        .distinct()
     )
 
 
@@ -381,23 +410,27 @@ SQL_DEDUP_SIMHASH = "WITH " + _sql_simhash_sig() + "\nSELECT doc_id, simhash FRO
 
 
 def simhash_bands(spark, sf_dir) -> DataFrame:
-    """(doc_id, simhash, band, bits): the 16-bit signature split into
+    """(doc_id, simhash, band, bits): the signature split into
     SIMHASH_BANDS exact bands via one explode — the pigeonhole index for
-    hamming-bounded search."""
+    hamming-bounded search. Persisted: the sketch table is O(n_docs)
+    tiny and both self-join sides read it, so materializing it once is
+    exactly what a corpus-scale pipeline does with its signature table."""
     sig = simhash_signatures(spark, sf_dir)
-    mask = (1 << SIMHASH_BAND_BITS) - 1
     entries = [
         F.struct(
             F.lit(band).alias("band"),
-            F.shiftright("simhash", band * SIMHASH_BAND_BITS)
-            .bitwiseAND(F.lit(mask))
+            F.shiftright("simhash", start)
+            .bitwiseAND(F.lit((1 << width) - 1))
             .alias("bits"),
         )
-        for band in range(SIMHASH_BANDS)
+        for band, (start, width) in enumerate(SIMHASH_BAND_RANGES)
     ]
-    return sig.select("doc_id", "simhash", F.explode(F.array(*entries)).alias("e")).select(
+    out = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*entries)).alias("e")
+    ).select(
         "doc_id", "simhash", F.col("e.band").alias("band"), F.col("e.bits").alias("bits")
     )
+    return out.persist()
 
 
 def q_simhash_near_pairs(spark, sf_dir):
@@ -406,7 +439,15 @@ def q_simhash_near_pairs(spark, sf_dir):
     hamming budget must agree exactly on at least one band (pigeonhole),
     so candidates come from an equi-join on (band, bits) and the exact
     ``bit_count(xor)`` post-filter keeps semantics identical to the
-    all-pairs form (the DuckDB oracle still states the naive form)."""
+    all-pairs form (the DuckDB oracle still states the naive form).
+    Pairs agreeing on several bands are emitted only at their FIRST
+    matching band (row-local predicate over the full signatures), so no
+    distinct shuffle runs over the candidate set."""
+
+    def band_bits(col, j):
+        start, width = SIMHASH_BAND_RANGES[j]
+        return F.shiftright(col, start).bitwiseAND(F.lit((1 << width) - 1))
+
     banded = simhash_bands(spark, sf_dir)
     a = banded.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "band", "bits"
@@ -415,22 +456,34 @@ def q_simhash_near_pairs(spark, sf_dir):
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), "band", "bits"
     )
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    first_collision = F.lit(True)
+    for k in range(1, len(SIMHASH_BAND_RANGES)):
+        earlier_differ = None
+        for j in range(k):
+            c = band_bits(F.col("ha"), j) != band_bits(F.col("hb"), j)
+            earlier_differ = c if earlier_differ is None else (earlier_differ & c)
+        first_collision = first_collision & F.when(
+            F.col("band") == k, earlier_differ
+        ).otherwise(F.lit(True))
     return (
         a.join(b, ["band", "bits"])
-        .where((F.col("doc_a") < F.col("doc_b")) & (ham <= SIMHASH_MAX_HAMMING))
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (ham <= SIMHASH_MAX_HAMMING)
+            & first_collision
+        )
         .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
-        .distinct()
     )
 
 
 SQL_SIMHASH_NEAR_PAIRS = (
     "WITH "
     + _sql_simhash_sig()
-    + """
+    + f"""
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
 FROM simhash_sig a JOIN simhash_sig b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 """
 )
 
@@ -440,7 +493,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 # query vector, and the IVF-pruned scale path (search one coarse cell)
 # --------------------------------------------------------------------- #
 def _emb(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _fan_out_small_scan(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def _cos(a, b):
@@ -545,7 +598,7 @@ def embedding_srp_buckets(spark, sf_dir) -> DataFrame:
         )
         bit = F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = bit if bucket is None else (bucket + bit)
-    return e.select("vec_id", "emb", bucket.cast("long").alias("bucket"))
+    return e.select("vec_id", "emb", bucket.cast("long").alias("bucket")).persist()
 
 
 def q_embedding_lsh_pairs(spark, sf_dir):
