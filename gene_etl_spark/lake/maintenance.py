@@ -78,8 +78,11 @@ def compact(table: LakeTable, max_files_per_bucket: int = 1) -> dict:
         },
         "committed_at_ms": int(time.time() * 1000),
     }
-    table._write_manifest(new_manifest)
-    return {"compacted_buckets": len(fragmented), "snapshot_version": version}
+    committed = table.commit_with_rebase(new_manifest, fragmented)
+    return {
+        "compacted_buckets": len(fragmented),
+        "snapshot_version": committed["version"],
+    }
 
 
 def expire_snapshots(table: LakeTable, keep_last: int = 10) -> dict:

@@ -281,7 +281,8 @@ def merge_into(
         },
         "committed_at_ms": int(time.time() * 1000),
     }
-    table._write_manifest(new_manifest)
+    committed = table.commit_with_rebase(new_manifest, touched)
+    res.snapshot_version = committed["version"]
     res.wall_ms = int((time.time() - t0) * 1000)
     res.timings = timings
     return res
@@ -422,7 +423,8 @@ def _merge_mor(
         },
         "committed_at_ms": int(time.time() * 1000),
     }
-    table._write_manifest(new_manifest)
+    committed = table.commit_with_rebase(new_manifest, touched, append_only=True)
+    res.snapshot_version = committed["version"]
     res.wall_ms = int((time.time() - t0) * 1000)
     res.timings = timings
     return res

@@ -6,8 +6,11 @@ rule needs (SURVEY.md §7.4 fallback design):
 
 - **Snapshot isolation / atomic commits**: every commit writes a new
   immutable JSON manifest ``_manifests/v{N}.json`` via tmp-file +
-  ``os.link`` (atomic create, fails on conflict — optimistic concurrency).
-  Readers always see a complete manifest or the previous one.
+  ``os.link`` (atomic create, fails on conflict). Losing writers rebase
+  onto the winner and retry when safe — disjoint CoW buckets and MoR
+  delta appends — and refuse otherwise (``commit_with_rebase``, the
+  Iceberg optimistic-concurrency retry loop). Readers always see a
+  complete manifest or the previous one.
 - **Bucketed layout**: data files are grouped by ``bucket_id =
   pmod(xxhash64(conv_id), num_buckets)`` (Iceberg ``bucket(N, conv_id)``
   transform analogue). MERGE rewrites only the buckets touched by a batch
@@ -149,6 +152,113 @@ class LakeTable:
     def _read_manifest(self, version: int) -> dict:
         with open(self._manifest_path(version)) as f:
             return json.load(f)
+
+    def commit_with_rebase(
+        self,
+        manifest: dict,
+        touched_buckets: list[int],
+        *,
+        append_only: bool = False,
+        max_retries: int = 5,
+    ) -> dict:
+        """Optimistic-concurrency commit: on a version conflict, rebase
+        onto the winner and retry (the Iceberg retry loop).
+
+        A rebase is safe when the intervening commits are compatible
+        with ours:
+        - same ``batch_id`` already committed → raise (the caller's
+          fencing treats it as already-applied; our files are orphans
+          for vacuum);
+        - ``append_only`` (MoR delta append): always safe — our delta
+          files are independent of the base, so they are re-layered on
+          top of the winner's file/delta maps;
+        - CoW rewrite: safe only if no intervening commit touched any of
+          our buckets (our rewritten files were derived from the base we
+          read); bucket overlap → raise.
+
+        The passed ``manifest`` must carry OUR ``files``/``deltas``
+        entries for ``touched_buckets`` (they are re-layered verbatim).
+        """
+        ours_files = {str(b): manifest["files"].get(str(b), []) for b in touched_buckets}
+        ours_deltas = {
+            str(b): (manifest.get("deltas", {}) or {}).get(str(b), [])
+            for b in touched_buckets
+        }
+        attempt = dict(manifest)
+        for _ in range(max_retries + 1):
+            try:
+                self._write_manifest(attempt)
+                return attempt
+            except CommitConflict:
+                self._manifest_cache = None
+                latest = self.manifest  # re-read the winner chain
+                base_version = attempt["parent"]
+                batch_id = (attempt.get("properties") or {}).get("batch_id")
+                winners = [
+                    m for m in self.history()
+                    if base_version is not None and m["version"] > base_version
+                ]
+                if batch_id and any(
+                    (m.get("properties") or {}).get("batch_id") == batch_id
+                    for m in winners
+                ):
+                    raise CommitConflict(
+                        f"batch {batch_id} was committed concurrently by another writer"
+                    ) from None
+                if not append_only:
+                    for m in winners:
+                        won = set(
+                            m.get("summary", {}).get("touched_buckets")
+                            or m.get("summary", {}).get("compacted_buckets")
+                            or []
+                        )
+                        overlap = won & set(touched_buckets)
+                        if overlap:
+                            raise CommitConflict(
+                                f"concurrent writer rewrote buckets {sorted(overlap)}"
+                                " that this CoW merge also rewrote — rebase unsafe,"
+                                " re-run the merge against the new base"
+                            ) from None
+                # rebase: re-layer our buckets on the winner's maps
+                new_files = dict(latest.get("files", {}) or {})
+                new_deltas = {
+                    k: list(v) for k, v in (latest.get("deltas", {}) or {}).items()
+                }
+                for b in touched_buckets:
+                    k = str(b)
+                    if append_only:
+                        new_deltas.setdefault(k, []).extend(ours_deltas.get(k, []))
+                    else:
+                        new_files[k] = ours_files.get(k, [])
+                        new_deltas.pop(k, None)
+                # additive schema merge: winner's fields + any new ones ours added
+                seen = {f["name"] for f in latest["schema"]["fields"]}
+                merged_schema = {
+                    **latest["schema"],
+                    "fields": list(latest["schema"]["fields"])
+                    + [f for f in attempt["schema"]["fields"] if f["name"] not in seen],
+                }
+                # row accounting rebases onto the winner's total
+                summary = dict(attempt.get("summary", {}))
+                w_total = latest.get("summary", {}).get("total_rows")
+                if w_total is not None and summary.get("total_rows") is not None:
+                    summary["total_rows"] = (
+                        w_total
+                        + int(summary.get("inserts") or 0)
+                        - int(summary.get("deletes") or 0)
+                    )
+                attempt = {
+                    **attempt,
+                    "version": latest["version"] + 1,
+                    "parent": latest["version"],
+                    "schema": merged_schema,
+                    "files": new_files,
+                    "deltas": new_deltas,
+                    "summary": summary,
+                }
+        raise CommitConflict(
+            f"gave up after {max_retries} rebase attempts at {self.path}"
+        )
 
     def _write_manifest(self, manifest: dict) -> None:
         """Atomic manifest commit: write tmp, hard-link into place.
