@@ -64,6 +64,12 @@ HYPERPLANES = [
     for _ in range(NUM_HYPERPLANES)
 ]
 
+# winnowing fingerprints (MOSS scheme): k-char grams, window-min
+# selection over w consecutive gram hashes — guarantees any match of
+# length >= k + w - 1 shares a fingerprint
+WINNOW_K = 8
+WINNOW_W = 4
+
 # candidate-view read model: cap the ranked candidate set so the global
 # rank window runs over a TakeOrdered prefix, not a single-partition sort
 CANDIDATE_MIN_ABS_RHO = 0.1

@@ -12,7 +12,15 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from gene_etl_spark.operators.multimodal import decode_media, with_fake_payload
+from gene_etl_spark.operators.multimodal import (
+    FRAME_BYTES,
+    FRAME_STEP,
+    RESIZE_MAX_DIM,
+    decode_media,
+    resize_media,
+    sample_frames,
+    with_fake_payload,
+)
 from gene_etl_spark.operators.stats import pairwise_corr_kernel, pairwise_corr_with_p
 
 MIN_PAIR_N = 10
@@ -110,15 +118,71 @@ FROM hashed
 SQL_MULTIMODAL_DECODE = _sql_multimodal()
 
 
+def q_multimodal_resize(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return resize_media(with_fake_payload(docs))
+
+
+SQL_MULTIMODAL_RESIZE = f"""
+WITH dims AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(text), 1, 2))::INTEGER AS width,
+         ('0x' || substr(md5(text), 3, 2))::INTEGER AS height
+  FROM documents
+)
+SELECT doc_id, width, height,
+       CASE WHEN GREATEST(width, height) <= {RESIZE_MAX_DIM} THEN width
+            ELSE FLOOR(width * {RESIZE_MAX_DIM}.0 / GREATEST(width, height))::INTEGER
+       END AS out_width,
+       CASE WHEN GREATEST(width, height) <= {RESIZE_MAX_DIM} THEN height
+            ELSE FLOOR(height * {RESIZE_MAX_DIM}.0 / GREATEST(width, height))::INTEGER
+       END AS out_height,
+       (CASE WHEN GREATEST(width, height) <= {RESIZE_MAX_DIM} THEN 1.0
+             ELSE ROUND({RESIZE_MAX_DIM}.0 / GREATEST(width, height), 6)
+        END)::DOUBLE AS scale
+FROM dims
+"""
+
+
+def q_multimodal_frames(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sample_frames(with_fake_payload(docs))
+
+
+def _sql_frames() -> str:
+    # the fake payload is the 16-byte md5 digest: frame f covers bytes
+    # [4f, 4f+4) = hex chars (8f+1 .. 8f+8); every FRAME_STEP-th frame kept
+    n_frames = 16 // FRAME_BYTES
+    idxs = ", ".join(str(i) for i in range(0, n_frames, FRAME_STEP))
+    byte_terms = " + ".join(
+        f"('0x' || substr(h, frame_idx * {2 * FRAME_BYTES} + {2 * j + 1}, 2))::BIGINT"
+        for j in range(FRAME_BYTES)
+    )
+    return f"""
+WITH hashed AS (SELECT doc_id, md5(text) AS h FROM documents),
+frames AS (SELECT doc_id, h, unnest([{idxs}])::INTEGER AS frame_idx FROM hashed)
+SELECT doc_id, frame_idx, ({byte_terms})::BIGINT AS frame_sum
+FROM frames
+"""
+
+
+SQL_MULTIMODAL_FRAMES = _sql_frames()
+
+
 QUERIES = {
     "pairwise_corr_kernel": q_pairwise_corr_kernel,
     "pairwise_corr_p": q_pairwise_corr_p,
     "pairwise_corr_kendall": q_pairwise_corr_kendall,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_resize": q_multimodal_resize,
+    "multimodal_frames": q_multimodal_frames,
 }
 
 ORACLES = {
     "pairwise_corr_kernel": SQL_PAIRWISE_CORR_KERNEL,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
-    # pairwise_corr_p: rows-only (p-values not SQL-expressible)
+    "multimodal_resize": SQL_MULTIMODAL_RESIZE,
+    "multimodal_frames": SQL_MULTIMODAL_FRAMES,
+    # pairwise_corr_p / pairwise_corr_kendall: rows-only (p-values and
+    # tau-b are not SQL-expressible at full precision)
 }

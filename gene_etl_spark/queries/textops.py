@@ -20,6 +20,7 @@ from gene_etl_spark.queries.common import (
     ANN_K,
     BAND_SIZE,
     BPE_ISH_PATTERN,
+    EMB_DIM,
     HYPERPLANES,
     IVF_K,
     JACCARD_THRESHOLD,
@@ -37,6 +38,8 @@ from gene_etl_spark.queries.common import (
     STOPWORDS,
     TOKEN_P,
     TOPK_PAIRS,
+    WINNOW_K,
+    WINNOW_W,
 )
 
 NUM_BANDS = NUM_HASHES // BAND_SIZE
@@ -156,6 +159,57 @@ SELECT doc_id,
        ('0x' || substr(md5(norm), 1, 15))::BIGINT AS fingerprint,
        COUNT(*) OVER (PARTITION BY ('0x' || substr(md5(norm), 1, 15))::BIGINT)::BIGINT AS n_dupes
 FROM docs_norm
+"""
+)
+
+
+# --------------------------------------------------------------------- #
+# winnowing fingerprints (MOSS): rolling k-gram hashes → min of each
+# w-window → distinct selected hashes per doc. Guarantees any shared
+# substring of length >= k + w - 1 contributes a shared fingerprint —
+# the substring-robust dedup signal md5-of-whole-text cannot give.
+# Pure column expressions (transform / slice / array_min), no UDF.
+# --------------------------------------------------------------------- #
+def q_doc_winnow(spark, sf_dir):
+    d = docs_norm(spark, sf_dir).where(
+        F.length("norm") >= WINNOW_K + WINNOW_W - 1
+    )
+    n_grams = F.length("norm") - F.lit(WINNOW_K - 1)
+    kh = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: md5_long(F.col("norm").substr(i, F.lit(WINNOW_K))),
+    )
+    d = d.withColumn("kh", kh)
+    n_windows = F.size("kh") - F.lit(WINNOW_W - 1)
+    wins = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda j: F.array_min(F.slice("kh", j, WINNOW_W)),
+    )
+    return (
+        d.select("doc_id", F.explode(F.array_distinct(wins)).alias("fp"))
+        .distinct()
+    )
+
+
+SQL_DOC_WINNOW = (
+    "WITH "
+    + SQL_DOCS_NORM.strip()
+    + f""",
+grams AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, length(norm) - {WINNOW_K - 1} + 1),
+           i -> ('0x' || substr(md5(substr(norm, i, {WINNOW_K})), 1, 15))::BIGINT
+         ) AS kh
+  FROM docs_norm
+  WHERE length(norm) >= {WINNOW_K + WINNOW_W - 1}
+)
+SELECT DISTINCT doc_id,
+       unnest(list_distinct(list_transform(
+         range(1, len(kh) - {WINNOW_W - 1} + 1),
+         j -> list_min(kh[j:j + {WINNOW_W - 1}])
+       ))) AS fp
+FROM grams
 """
 )
 
@@ -705,6 +759,65 @@ ORDER BY cosine DESC, vec_id ASC
 LIMIT {IVF_K}
 """
 
+IVF_NPROBE = 2
+
+
+def q_ann_ivf_multiprobe(spark, sf_dir):
+    """Full IVF shape: the coarse quantizer is COMPUTED (per-cell
+    centroid = elementwise mean), the query ranks cells by
+    query↔centroid cosine and probes the NPROBE nearest, then exact
+    cosine re-ranks inside the probed cells. Centroids are a tiny
+    aggregate (n_cells rows) broadcast to prune the corpus scan — the
+    recall/cost dial a 10^9-vector deployment turns via nprobe."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    cents = e.groupBy("label").agg(
+        F.array(*[F.avg(F.col("emb")[d]) for d in range(EMB_DIM)]).alias("cent")
+    )
+    q = e.orderBy("vec_id").limit(1).select(F.col("emb").alias("qe"))
+    ranked = cents.crossJoin(F.broadcast(q)).select(
+        "label", F.round(_cos(F.col("cent"), F.col("qe")), 5).alias("ccos")
+    )
+    probes = (
+        ranked.orderBy(F.desc("ccos"), F.asc("label")).limit(IVF_NPROBE).select("label")
+    )
+    c = F.round(_cos(F.col("emb"), F.col("qe")), 5)
+    return (
+        e.join(F.broadcast(probes), "label")
+        .crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != 0)
+        .select("vec_id", "label", c.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(IVF_K)
+    )
+
+
+SQL_ANN_IVF_MULTIPROBE = f"""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings
+), q AS (
+  SELECT emb AS qe FROM e ORDER BY vec_id LIMIT 1
+), cents AS (
+  SELECT label, list(m ORDER BY i) AS cent FROM (
+    SELECT label, i, AVG(emb[i]) AS m
+    FROM e, range(1, {EMB_DIM + 1}) t(i)
+    GROUP BY label, i
+  ) GROUP BY label
+), probes AS (
+  SELECT label FROM cents, q
+  ORDER BY ROUND(list_cosine_similarity(cent, qe), 5) DESC, label ASC
+  LIMIT {IVF_NPROBE}
+)
+SELECT vec_id, label, ROUND(list_cosine_similarity(emb, qe), 5) AS cosine
+FROM e JOIN probes USING (label), q
+WHERE vec_id != 0
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {IVF_K}
+"""
+
 
 # --------------------------------------------------------------------- #
 # language-ID: marker-word scores with deterministic argmax priority
@@ -913,6 +1026,7 @@ QUERIES = {
     "quality_dedup_pipeline": q_quality_dedup_pipeline,
     "dedup_exact": q_dedup_exact,
     "doc_fingerprint": q_doc_fingerprint,
+    "doc_winnow": q_doc_winnow,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -922,6 +1036,7 @@ QUERIES = {
     "embedding_lsh_pairs": q_embedding_lsh_pairs,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
     "lang_id": q_lang_id,
     "text_quality": q_text_quality,
     "token_stats": q_token_stats,
@@ -931,6 +1046,7 @@ ORACLES = {
     "quality_dedup_pipeline": SQL_QUALITY_DEDUP_PIPELINE,
     "dedup_exact": SQL_DEDUP_EXACT,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "doc_winnow": SQL_DOC_WINNOW,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_minhash": SQL_DEDUP_MINHASH,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
@@ -940,6 +1056,7 @@ ORACLES = {
     "embedding_lsh_pairs": SQL_EMBEDDING_LSH_PAIRS,
     "ann_topk": SQL_ANN_TOPK,
     "ann_ivf": SQL_ANN_IVF,
+    "ann_ivf_multiprobe": SQL_ANN_IVF_MULTIPROBE,
     "lang_id": SQL_LANG_ID,
     "text_quality": SQL_TEXT_QUALITY,
     "token_stats": SQL_TOKEN_STATS,
