@@ -76,3 +76,56 @@ def windowed_rollup_stream(
     if query.isActive:
         query.stop()
     return {"wall_sec": time.time() - t0}
+
+
+def session_rollup_stream(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint_dir: str,
+    out_path: str,
+    gap: str = "5 minutes",
+    watermark: str = "30 minutes",
+    max_files_per_trigger: int | None = None,
+    timeout_sec: float = 600.0,
+) -> dict:
+    """Per-conversation activity sessions (``session_window`` with an
+    inactivity gap): a session closes once the watermark passes its end
+    and is emitted exactly once (append mode). Gives the
+    events-per-burst / session-duration view of the same change log;
+    batch Spark computes the identical ``session_window`` aggregate, so
+    the two are directly comparable in tests."""
+    schema = BinlogSource(spark, events_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(events_path).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), F.col("conv_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("lsn").alias("max_lsn"),
+        )
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "conv_id",
+            "n_events",
+            "max_lsn",
+        )
+    )
+    query = (
+        agg.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    t0 = time.time()
+    query.awaitTermination(timeout_sec)
+    if query.isActive:
+        query.stop()
+    return {"wall_sec": time.time() - t0}

@@ -76,6 +76,50 @@ def test_windowed_rollup_matches_batch_truth(spark, workdir):
     assert old_truth.count() == old_emitted.count()
 
 
+def test_session_windows_match_batch_truth(spark, workdir):
+    """Closed per-conversation sessions emitted by the stream equal the
+    batch session_window aggregate for every emitted row."""
+    from gene_etl_spark.streaming.windowed import session_rollup_stream
+
+    ev = _events(spark, workdir, seed=29)
+    out = os.path.join(workdir, "sessions")
+    session_rollup_stream(
+        spark, ev, os.path.join(workdir, "ckpt"), out,
+        gap="5 minutes", watermark=WATERMARK, max_files_per_trigger=2,
+    )
+    emitted = spark.read.parquet(out)
+    assert emitted.count() > 0
+
+    batch = spark.read.parquet(f"{ev}/*.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    truth = (
+        batch.groupBy(F.session_window("ts", "5 minutes").alias("win"), "conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("t_events"),
+            F.max("lsn").alias("t_lsn"),
+        )
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "conv_id",
+            "t_events",
+            "t_lsn",
+        )
+    )
+    joined = emitted.join(
+        truth, ["session_start", "session_end", "conv_id"], "inner"
+    )
+    assert joined.count() == emitted.count()
+    assert (
+        joined.where(
+            (F.col("n_events") != F.col("t_events"))
+            | (F.col("max_lsn") != F.col("t_lsn"))
+        ).count()
+        == 0
+    )
+
+
 def test_stateful_conversation_state_matches_batch(spark, workdir):
     ev = _events(spark, workdir, seed=23)
     out = os.path.join(workdir, "state_log")
