@@ -188,6 +188,29 @@ def test_shingle_df_cap_bounds_hot_shingle(spark, tmp_path):
     assert capped_max is not None and capped_max <= SHINGLE_DF_CAP
 
 
+def test_winnow_shared_substring_guarantee(spark, tmp_path):
+    """The winnowing invariant: any two docs sharing a substring of
+    length >= k + w - 1 share at least one fingerprint; unrelated text
+    shares none."""
+    from gene_etl_spark.queries.textops import q_doc_winnow
+
+    common = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (0, "en", "aaaa xxxx " + common + " bbbb"),
+        (1, "en", "cccc yyyy zzzz " + common + " dddd eeee"),
+        (2, "en", "completely unrelated words with nothing in overlap here"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    fps: dict[int, set] = {}
+    for r in q_doc_winnow(spark, str(tmp_path)).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[0] & fps[1], "shared substring must share a fingerprint"
+    assert not (fps[0] & fps[2])
+    assert not (fps[1] & fps[2])
+
+
 def test_export_paged_respects_page_size(spark, tmp_path):
     """S7 export sink: no output file exceeds the page-row cap and the
     round-trip preserves every row (reference pages exports at 100k
