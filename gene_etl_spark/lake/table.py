@@ -455,3 +455,17 @@ class LakeTable:
 
     def bucket_expr(self, col: str | None = None) -> F.Column:
         return bucket_of(col or self.key_cols[0], self.num_buckets)
+
+    def lookup(self, key_value) -> DataFrame:
+        """Point read for one value of the bucketing key: compute its
+        bucket, scan ONLY that bucket's files, filter. At 10^10 rows a
+        point query touches 1/num_buckets of the table's files and the
+        key predicate then prunes row groups inside them."""
+        b = (
+            self.spark.range(1)
+            .select(bucket_of(F.lit(key_value), self.num_buckets).alias("b"))
+            .collect()[0]["b"]
+        )
+        return self.read(buckets=[int(b)]).where(
+            F.col(self.key_cols[0]) == key_value
+        )
