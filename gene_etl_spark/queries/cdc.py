@@ -142,6 +142,75 @@ FROM ranked WHERE rn = 1 AND op <> 'D'
 """
 
 
+def q_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental change feed (CDF) out of the lake: replay the derived
+    stream through the MoR engine (pure delta commits, no compaction),
+    then read back EVERY commit's changes via read_changes(0). Each MoR
+    commit streams its deduped slice verbatim, so the feed equals the
+    per-slice LWW winners — which the DuckDB oracle states in pure SQL
+    (slice = ceil(lsn / width), winner per (slice, key), op as U/D)."""
+    from gene_etl_spark.config import IngestConfig
+    from gene_etl_spark.lake.changes import CHANGE_OP_COL, VERSION_COL, read_changes
+    from gene_etl_spark.runner import CdcIngestRunner
+
+    base = tempfile.mkdtemp(prefix="cdc_changes_")
+    try:
+        events_dir = os.path.join(base, "events")
+        derived_change_events(spark, sf_dir).repartition(4).write.parquet(events_dir)
+        max_lsn = spark.read.parquet(events_dir).agg(F.max("lsn")).collect()[0][0]
+        cfg = IngestConfig(
+            lake_path=os.path.join(base, "lake"),
+            events_path=events_dir,
+            ledger_path=os.path.join(base, "ledger"),
+            metrics_path=os.path.join(base, "metrics"),
+            validation_path=os.path.join(base, "validation"),
+            num_buckets=16,
+            slice_lsn_width=max(1, int(max_lsn) // 4),
+            num_salts=4,
+            salt_threshold=0,
+            merge_mode="mor",
+        )
+        runner = CdcIngestRunner(spark, cfg)
+        runner.run()
+        # snapshot v == slice number: the chain is create(v0) then one
+        # pure-delta commit per slice, in slice order
+        out = read_changes(runner.table, 0).select(
+            "conv_id",
+            "turn_idx",
+            F.col("_lsn").cast("long").alias("lsn"),
+            F.col(CHANGE_OP_COL).alias("change_op"),
+            F.col(VERSION_COL).cast("long").alias("slice"),
+        )
+        pdf = out.toPandas()
+        return spark.createDataFrame(pdf, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+SQL_CDC_CHANGES = """
+WITH derived AS (
+  SELECT (event_id + 1)::BIGINT AS lsn,
+         CASE WHEN event_type = 'error' AND value < 50 THEN 'D' ELSE 'U' END AS op,
+         'u' || user_id::VARCHAR AS conv_id,
+         (event_id % 40)::INTEGER AS turn_idx,
+         ts
+  FROM events
+), w AS (
+  SELECT GREATEST(MAX(lsn) // 4, 1)::BIGINT AS width FROM derived
+), sliced AS (
+  SELECT d.*, ((lsn - 1) // width + 1)::BIGINT AS slice FROM derived d, w
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY slice, conv_id, turn_idx
+                               ORDER BY lsn DESC, ts DESC) AS rn
+  FROM sliced
+)
+SELECT conv_id, turn_idx, lsn,
+       CASE WHEN op = 'D' THEN 'D' ELSE 'U' END AS change_op,
+       slice
+FROM ranked WHERE rn = 1
+"""
+
+
 def q_lww_dedup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The salted two-phase LWW dedup operator itself (skew path forced),
     oracle-checked against a plain window dedup in SQL."""
@@ -176,6 +245,7 @@ QUERIES = {
     "cdc_replay": q_cdc_replay,
     "cdc_replay_mor": q_cdc_replay_mor,
     "cdc_replay_stream": q_cdc_replay_stream,
+    "cdc_changes": q_cdc_changes,
     "lww_dedup_salted": q_lww_dedup_salted,
 }
 
@@ -183,5 +253,6 @@ ORACLES = {
     "cdc_replay": SQL_CDC_REPLAY,
     "cdc_replay_mor": SQL_CDC_REPLAY,
     "cdc_replay_stream": SQL_CDC_REPLAY,
+    "cdc_changes": SQL_CDC_CHANGES,
     "lww_dedup_salted": SQL_LWW_DEDUP_SALTED,
 }
