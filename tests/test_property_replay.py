@@ -82,8 +82,29 @@ def test_replay_equality_property(
         )
         runner = CdcIngestRunner(spark, cfg)
         runner.run()
-        assert_replay_equal(
-            runner.table.read().toPandas(), materialize_expected(cfg.events_path)
+        expected = materialize_expected(cfg.events_path)
+        assert_replay_equal(runner.table.read().toPandas(), expected)
+
+        # the change feed is a second, independent statement of the same
+        # history: folding read_changes(0) in (version, lsn) order must
+        # reproduce the final state for every randomized stream shape
+        from gene_etl_spark.lake.changes import (
+            CHANGE_OP_COL,
+            VERSION_COL,
+            read_changes,
         )
+
+        state: dict = {}
+        for r in sorted(
+            read_changes(runner.table, 0).collect(),
+            key=lambda r: (r[VERSION_COL], r["_lsn"] or 0),
+        ):
+            if r[CHANGE_OP_COL] == "D":
+                state.pop((r.conv_id, r.turn_idx), None)
+            else:
+                state[(r.conv_id, r.turn_idx)] = r.text
+        assert state == {
+            (r.conv_id, r.turn_idx): r.text for r in expected.itertuples(index=False)
+        }
     finally:
         shutil.rmtree(base, ignore_errors=True)
