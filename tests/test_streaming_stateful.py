@@ -75,6 +75,14 @@ def test_windowed_rollup_matches_batch_truth(spark, workdir):
     old_emitted = emitted.where(F.col("window_end") <= cutoff)
     assert old_truth.count() == old_emitted.count()
 
+    # exactly-once: draining again on the same checkpoint emits nothing new
+    n_before = emitted.count()
+    windowed_rollup_stream(
+        spark, ev, os.path.join(workdir, "ckpt"), out,
+        window=WINDOW, watermark=WATERMARK, max_files_per_trigger=2,
+    )
+    assert spark.read.parquet(out).count() == n_before
+
 
 def test_session_windows_match_batch_truth(spark, workdir):
     """Closed per-conversation sessions emitted by the stream equal the
