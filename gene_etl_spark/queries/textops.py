@@ -380,7 +380,9 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
-def _sql_lsh() -> str:
+def _sql_lsh_cte() -> str:
+    """WITH-body through ``lsh_pairs`` (distinct candidate pairs),
+    shared by the LSH query and the corpus pipeline."""
     band_selects = []
     for band in range(NUM_BANDS):
         concat = " || '_' || ".join(
@@ -391,20 +393,23 @@ def _sql_lsh() -> str:
             f"('0x' || substr(md5({concat}), 1, 15))::BIGINT AS bucket FROM sig"
         )
     return (
-        "WITH "
-        + _sql_minhash_sig()
+        _sql_minhash_sig()
         + ",\nbuckets AS (\n  "
         + "\n  UNION ALL\n  ".join(band_selects)
         + """
+),
+lsh_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 )
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM buckets a JOIN buckets b
-  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 """
     )
 
 
-SQL_DEDUP_MINHASH_LSH = _sql_lsh()
+SQL_DEDUP_MINHASH_LSH = (
+    "WITH " + _sql_lsh_cte() + "\nSELECT doc_a, doc_b FROM lsh_pairs\n"
+)
 
 
 # --------------------------------------------------------------------- #
@@ -1022,8 +1027,53 @@ FROM deduped GROUP BY 1
 )
 
 
+# --------------------------------------------------------------------- #
+# corpus build pipeline with NEAR-dup removal: quality gate → MinHash-LSH
+# candidate pairs → canonical keep (drop every doc appearing as the
+# larger id of a candidate pair) → per-language corpus stats. The
+# pretraining-corpus shape end-to-end: the LSH family doesn't just
+# REPORT near-dups, it prunes them, and the whole thing is one Catalyst
+# plan over equi-joins (anti-join for the removal).
+# --------------------------------------------------------------------- #
+def q_corpus_pipeline_lsh(spark, sf_dir):
+    d = docs_norm(spark, sf_dir).withColumn("toks", tokens_col())
+    n_tokens = F.size("toks").cast("long")
+    gated = d.where(n_tokens >= 30)
+    dupes = q_dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_b").alias("doc_id")
+    ).distinct()
+    kept = gated.join(dupes, "doc_id", "leftanti")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
+        F.round(F.avg(F.size("toks")), 6).alias("avg_tokens"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+    )
+
+
+SQL_CORPUS_PIPELINE_LSH = (
+    "WITH "
+    + _sql_lsh_cte().strip()
+    + """,
+gated AS (
+  SELECT doc_id, lang, text, len(string_split(norm, ' '))::BIGINT AS n_tokens
+  FROM docs_norm
+  WHERE len(string_split(norm, ' ')) >= 30
+),
+kept AS (
+  SELECT * FROM gated
+  WHERE doc_id NOT IN (SELECT DISTINCT doc_b FROM lsh_pairs)
+)
+SELECT lang, COUNT(*)::BIGINT AS n_docs_kept,
+       ROUND(AVG(n_tokens), 6) AS avg_tokens,
+       SUM(length(text))::BIGINT AS total_chars
+FROM kept GROUP BY 1
+"""
+)
+
+
 QUERIES = {
     "quality_dedup_pipeline": q_quality_dedup_pipeline,
+    "corpus_pipeline_lsh": q_corpus_pipeline_lsh,
     "dedup_exact": q_dedup_exact,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_winnow": q_doc_winnow,
@@ -1044,6 +1094,7 @@ QUERIES = {
 
 ORACLES = {
     "quality_dedup_pipeline": SQL_QUALITY_DEDUP_PIPELINE,
+    "corpus_pipeline_lsh": SQL_CORPUS_PIPELINE_LSH,
     "dedup_exact": SQL_DEDUP_EXACT,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "doc_winnow": SQL_DOC_WINNOW,
