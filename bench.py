@@ -35,6 +35,7 @@ HEADLINE = [
     "simhash_near_pairs",  # quadratic, so not a headline number
     "embedding_topk_pairs",
     "embedding_lsh_pairs",
+    "corpus_pipeline_lsh",
     "doc_winnow",
     "candidate_view",
     "corr_kendall",
