@@ -24,6 +24,16 @@ class IngestConfig:
     metrics_path: str = "warehouse/ingest_metrics"
     validation_path: str = "warehouse/validation_log"
 
+    # --- source format -------------------------------------------------------
+    # "parquet": columnar tranches; LSN slice predicates prune row groups
+    #            (the scale format).
+    # "jsonl":   newline-delimited JSON tranches (Kafka/Debezium-style CDC
+    #            feeds); JSON carries no types, so source_schema_json
+    #            (StructType.json()) is REQUIRED — slice predicates still
+    #            push to the scan but prune post-parse, not by row group.
+    source_format: str = "parquet"
+    source_schema_json: str | None = None
+
     # --- table layout ------------------------------------------------------
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx")
     num_buckets: int = 64  # bucket(conv_id) partitioning of the lake table
@@ -72,6 +82,10 @@ class IngestConfig:
             raise ValueError("merge_mode must be 'cow' or 'mor'")
         if self.dedup_strategy not in ("agg", "salted_window"):
             raise ValueError("dedup_strategy must be 'agg' or 'salted_window'")
+        if self.source_format not in ("parquet", "jsonl"):
+            raise ValueError("source_format must be 'parquet' or 'jsonl'")
+        if self.source_format == "jsonl" and not self.source_schema_json:
+            raise ValueError("jsonl sources require source_schema_json")
 
 
 def config_hash(cfg: IngestConfig) -> str:

@@ -42,7 +42,16 @@ class CdcIngestRunner:
         self.spark = spark
         self.config = config
         self.config_hash = config_hash(config)
-        self.source = BinlogSource(spark, config.events_path)
+        src_schema = None
+        if config.source_schema_json:
+            import json as _json
+
+            import pyspark.sql.types as T
+
+            src_schema = T.StructType.fromJson(_json.loads(config.source_schema_json))
+        self.source = BinlogSource(
+            spark, config.events_path, schema=src_schema, fmt=config.source_format
+        )
         self.ledger = Ledger(config.ledger_path)
         self.metrics = MetricsTable(spark, config.metrics_path)
         self.validator = Validator(

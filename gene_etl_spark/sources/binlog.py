@@ -29,14 +29,26 @@ from pyspark.sql import types as T
 
 
 class BinlogSource:
+    """fmt="parquet" (default): columnar tranches, footer-schema grouped,
+    LSN predicates prune row groups. fmt="jsonl": newline-delimited JSON
+    tranches (Kafka/Debezium-style feeds) — JSON carries no types, so an
+    explicit declared schema is required; slice predicates still reach
+    the scan but prune post-parse (parquet remains the scale format)."""
+
     def __init__(
         self,
         spark: SparkSession,
         path: str,
         schema: T.StructType | None = None,
+        fmt: str = "parquet",
     ):
+        if fmt not in ("parquet", "jsonl"):
+            raise ValueError("fmt must be 'parquet' or 'jsonl'")
+        if fmt == "jsonl" and schema is None:
+            raise ValueError("jsonl binlogs require an explicit schema")
         self.spark = spark
         self.path = path
+        self.fmt = fmt
         self._schema = schema
         self._user_schema = schema is not None
         # footer schemas cached per file path (tranche files are
@@ -48,7 +60,24 @@ class BinlogSource:
 
     # ------------------------------------------------------------------ #
     def files(self) -> list[str]:
-        return sorted(glob.glob(os.path.join(self.path, "*.parquet")))
+        ext = "*.parquet" if self.fmt == "parquet" else "*.jsonl"
+        return sorted(glob.glob(os.path.join(self.path, ext)))
+
+    def _read(self, schema: T.StructType, fs: list[str]):
+        reader = self.spark.read.schema(schema)
+        return reader.parquet(*fs) if self.fmt == "parquet" else reader.json(list(fs))
+
+    def _file_columns(self, f: str) -> tuple[str, ...]:
+        """Physical column set of one tranche (footer-only for parquet;
+        first line's keys for jsonl — tranche files are schema-uniform
+        by the writer contract)."""
+        if self.fmt == "parquet":
+            return tuple(pq.ParquetFile(f).schema_arrow.names)
+        import json as _json
+
+        with open(f) as fh:
+            line = fh.readline()
+        return tuple(_json.loads(line).keys()) if line.strip() else ()
 
     @property
     def schema(self) -> T.StructType:
@@ -67,7 +96,7 @@ class BinlogSource:
         for f in self.files():
             cols = self._footer_cache.get(f)
             if cols is None:
-                cols = tuple(pq.ParquetFile(f).schema_arrow.names)
+                cols = self._file_columns(f)
                 self._footer_cache[f] = cols
             groups.setdefault(cols, []).append(f)
         fileset = tuple(sorted(self._footer_cache))
@@ -90,7 +119,7 @@ class BinlogSource:
         schema = self.schema
         out: DataFrame | None = None
         for _cols, fs in self._groups():
-            part = self.spark.read.schema(schema).parquet(*fs)
+            part = self._read(schema, fs)
             out = part if out is None else out.unionByName(part)
         if out is None:
             return self.spark.createDataFrame([], schema)
@@ -100,8 +129,9 @@ class BinlogSource:
 
     def max_lsn(self) -> int:
         row = None
+        schema = self.schema
         for _cols, fs in self._groups():
-            df = self.spark.read.parquet(*fs).agg(F.max("lsn").alias("m"))
+            df = self._read(schema, fs).agg(F.max("lsn").alias("m"))
             r = df.collect()[0]["m"]
             row = r if row is None else max(row, r)
         return int(row or 0)

@@ -53,7 +53,16 @@ def ingest_stream(
 ) -> dict:
     """Run an availableNow streaming ingest over the change log; returns
     a summary once the stream drains."""
-    source = BinlogSource(spark, config.events_path)
+    src_schema = None
+    if config.source_schema_json:
+        import json as _json
+
+        import pyspark.sql.types as _T
+
+        src_schema = _T.StructType.fromJson(_json.loads(config.source_schema_json))
+    source = BinlogSource(
+        spark, config.events_path, schema=src_schema, fmt=config.source_format
+    )
     schema = source.schema
 
     if LakeTable.exists(config.lake_path):
@@ -144,7 +153,11 @@ def ingest_stream(
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    stream = reader.parquet(config.events_path)
+    stream = (
+        reader.parquet(config.events_path)
+        if config.source_format == "parquet"
+        else reader.json(config.events_path)
+    )
 
     query = (
         stream.writeStream.foreachBatch(apply_epoch)
