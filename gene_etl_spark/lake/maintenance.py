@@ -64,12 +64,17 @@ def compact(table: LakeTable, max_files_per_bucket: int = 1) -> dict:
     for b in fragmented:
         new_files[str(b)] = bucket_files.get(str(b), [])
         new_deltas.pop(str(b), None)  # deltas folded into the new base
+    new_stats = dict(manifest.get("file_stats", {}) or {})
+    new_stats.update(table._collect_file_stats(bucket_files))
+    referenced = {f for fs in new_files.values() for f in fs}
+    new_stats = {k: v for k, v in new_stats.items() if k in referenced}
     new_manifest = {
         **manifest,
         "version": version,
         "parent": manifest["version"],
         "files": new_files,
         "deltas": new_deltas,
+        "file_stats": new_stats,
         "properties": {},
         "summary": {
             "operation": "compact",

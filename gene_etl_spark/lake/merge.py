@@ -238,6 +238,12 @@ def merge_into(
     for b in touched:
         new_files[str(b)] = bucket_files.get(str(b), [])
         new_deltas.pop(str(b), None)
+    # per-file key bounds for point-lookup file skipping, pruned to files
+    # still referenced by this snapshot
+    new_stats = dict(manifest.get("file_stats", {}) or {})
+    new_stats.update(table._collect_file_stats(bucket_files))
+    referenced = {f for fs in new_files.values() for f in fs}
+    new_stats = {k: v for k, v in new_stats.items() if k in referenced}
 
     res = MergeResult(snapshot_version=version, touched_buckets=touched)
     for row in counters:
@@ -265,6 +271,7 @@ def merge_into(
         "num_buckets": num_buckets,
         "files": new_files,
         "deltas": new_deltas,
+        "file_stats": new_stats,
         "properties": {
             "batch_id": batch_id,
             "start_lsn": start_lsn,

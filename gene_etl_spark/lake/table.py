@@ -247,6 +247,11 @@ class LakeTable:
                         + int(summary.get("inserts") or 0)
                         - int(summary.get("deletes") or 0)
                     )
+                merged_stats = {
+                    **(latest.get("file_stats", {}) or {}),
+                    **(attempt.get("file_stats", {}) or {}),
+                }
+                referenced = {f for fs in new_files.values() for f in fs}
                 attempt = {
                     **attempt,
                     "version": latest["version"] + 1,
@@ -254,6 +259,9 @@ class LakeTable:
                     "schema": merged_schema,
                     "files": new_files,
                     "deltas": new_deltas,
+                    "file_stats": {
+                        k: v for k, v in merged_stats.items() if k in referenced
+                    },
                     "summary": summary,
                 }
         raise CommitConflict(
@@ -437,6 +445,40 @@ class LakeTable:
         os.makedirs(os.path.join(self.path, rel), exist_ok=True)
         return rel
 
+    def _collect_file_stats(
+        self, bucket_files: dict[str, list[str]]
+    ) -> dict[str, list]:
+        """Per-file [min, max] of the bucketing key from parquet footer
+        statistics (driver-side, just-written local files — the Iceberg
+        per-file column-bounds analogue). The range-partitioned write
+        makes files key-sorted ranges, so these bounds are tight and
+        point lookups can skip sibling files inside a bucket. (Parquet
+        truncates very long binary stats; keys here are short ids — a
+        deployment with long keys should compare against the truncated
+        max as a prefix upper bound.)"""
+        import pyarrow.parquet as pq
+
+        key0 = self.key_cols[0]
+        out: dict[str, list] = {}
+        for rels in bucket_files.values():
+            for rel in rels:
+                try:
+                    md = pq.ParquetFile(os.path.join(self.path, rel)).metadata
+                    idx = md.schema.to_arrow_schema().get_field_index(key0)
+                    lo = hi = None
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx).statistics
+                        if st is None or not st.has_min_max:
+                            lo = hi = None
+                            break
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+                    if lo is not None:
+                        out[rel] = [lo, hi]
+                except Exception:  # stats are an optimization, never a failure
+                    continue
+        return out
+
     @staticmethod
     def _list_bucket_files(abs_commit_dir: str, rel_commit_dir: str) -> dict[str, list[str]]:
         """Map bucket -> relative parquet paths under a commit directory
@@ -458,14 +500,28 @@ class LakeTable:
 
     def lookup(self, key_value) -> DataFrame:
         """Point read for one value of the bucketing key: compute its
-        bucket, scan ONLY that bucket's files, filter. At 10^10 rows a
-        point query touches 1/num_buckets of the table's files and the
-        key predicate then prunes row groups inside them."""
-        b = (
+        bucket, scan ONLY that bucket's files — further pruned by the
+        per-file key [min, max] bounds in the manifest when the bucket
+        is delta-free — then filter. At 10^10 rows a point query touches
+        1/num_buckets of the files, usually a single file, and the key
+        predicate then prunes row groups inside it."""
+        b = int(
             self.spark.range(1)
             .select(bucket_of(F.lit(key_value), self.num_buckets).alias("b"))
             .collect()[0]["b"]
         )
-        return self.read(buckets=[int(b)]).where(
-            F.col(self.key_cols[0]) == key_value
-        )
+        key0 = self.key_cols[0]
+        m = self.manifest
+        stats = m.get("file_stats", {}) or {}
+        dirty = (m.get("deltas", {}) or {}).get(str(b))
+        if not dirty:
+            rels = (m.get("files", {}) or {}).get(str(b), [])
+            pruned = [
+                os.path.join(self.path, rel)
+                for rel in rels
+                if rel not in stats
+                or (stats[rel][0] <= key_value <= stats[rel][1])
+            ]
+            df = self._scan(pruned, self._physical_schema(m)).drop(LSN_COL)
+            return df.where(F.col(key0) == key_value)
+        return self.read(buckets=[b]).where(F.col(key0) == key_value)

@@ -122,3 +122,31 @@ def test_point_lookup_prunes_to_one_bucket(spark, workdir):
         seg for f in touched for seg in f.split("/") if seg.startswith("bucket_id=")
     }
     assert len(buckets_seen) == 1
+
+
+def test_point_lookup_skips_files_by_key_bounds(spark, workdir):
+    """Inside a bucket, the per-file key [min, max] bounds recorded at
+    commit time (range-partitioned write → key-sorted file ranges) let a
+    point lookup skip sibling files — the Iceberg column-bounds play."""
+    generate_change_stream(
+        os.path.join(workdir, "events"), n_convs=60, max_turns=10,
+        n_events=3000, seed=41, n_tranches=2,
+    )
+    cfg = _cfg(workdir, num_buckets=1, slice_lsn_width=3000)  # one bucket
+    runner = CdcIngestRunner(spark, cfg)
+    runner.run()
+    table = runner.table
+    bucket_files = table.manifest["files"]["0"]
+    assert len(bucket_files) >= 2  # range partitioner spread the bucket
+    stats = table.manifest.get("file_stats", {})
+    assert set(stats) == set(bucket_files)  # bounds recorded per file
+
+    key = table.read().select("conv_id").orderBy("conv_id").first()["conv_id"]
+    got = table.lookup(key)
+    e = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in table.read().where(F.col("conv_id") == key).collect()
+    }
+    g = {(r.conv_id, r.turn_idx): r.text for r in got.collect()}
+    assert g == e and g
+    assert len(got.inputFiles()) < len(bucket_files)  # files skipped
