@@ -64,10 +64,17 @@ def compact(table: LakeTable, max_files_per_bucket: int = 1) -> dict:
     for b in fragmented:
         new_files[str(b)] = bucket_files.get(str(b), [])
         new_deltas.pop(str(b), None)  # deltas folded into the new base
+    from gene_etl_spark.lake.table import LSN_COL
+
     new_stats = dict(manifest.get("file_stats", {}) or {})
     new_stats.update(table._collect_file_stats(bucket_files))
-    referenced = {f for fs in new_files.values() for f in fs}
+    new_lsn_stats = dict(manifest.get("lsn_stats", {}) or {})
+    new_lsn_stats.update(table._collect_file_stats(bucket_files, column=LSN_COL))
+    referenced = {f for fs in new_files.values() for f in fs} | {
+        f for fs in new_deltas.values() for f in fs
+    }
     new_stats = {k: v for k, v in new_stats.items() if k in referenced}
+    new_lsn_stats = {k: v for k, v in new_lsn_stats.items() if k in referenced}
     new_manifest = {
         **manifest,
         "version": version,
@@ -75,6 +82,7 @@ def compact(table: LakeTable, max_files_per_bucket: int = 1) -> dict:
         "files": new_files,
         "deltas": new_deltas,
         "file_stats": new_stats,
+        "lsn_stats": new_lsn_stats,
         "properties": {},
         "summary": {
             "operation": "compact",

@@ -242,8 +242,13 @@ def merge_into(
     # still referenced by this snapshot
     new_stats = dict(manifest.get("file_stats", {}) or {})
     new_stats.update(table._collect_file_stats(bucket_files))
-    referenced = {f for fs in new_files.values() for f in fs}
+    new_lsn_stats = dict(manifest.get("lsn_stats", {}) or {})
+    new_lsn_stats.update(table._collect_file_stats(bucket_files, column=LSN_COL))
+    referenced = {f for fs in new_files.values() for f in fs} | {
+        f for fs in new_deltas.values() for f in fs
+    }
     new_stats = {k: v for k, v in new_stats.items() if k in referenced}
+    new_lsn_stats = {k: v for k, v in new_lsn_stats.items() if k in referenced}
 
     res = MergeResult(snapshot_version=version, touched_buckets=touched)
     for row in counters:
@@ -272,6 +277,7 @@ def merge_into(
         "files": new_files,
         "deltas": new_deltas,
         "file_stats": new_stats,
+        "lsn_stats": new_lsn_stats,
         "properties": {
             "batch_id": batch_id,
             "start_lsn": start_lsn,
@@ -395,6 +401,14 @@ def _merge_mor(
     bucket_files = table._list_bucket_files(abs_commit, rel_commit)
     for b in touched:
         new_deltas.setdefault(str(b), []).extend(bucket_files.get(str(b), []))
+    # delta-file LSN bounds: prove delta/base disjointness so reads can
+    # take the anti-join fast path instead of the full LWW aggregate
+    new_lsn_stats = dict(manifest.get("lsn_stats", {}) or {})
+    new_lsn_stats.update(table._collect_file_stats(bucket_files, column=LSN_COL))
+    referenced = {f for fs in manifest["files"].values() for f in fs} | {
+        f for fs in new_deltas.values() for f in fs
+    }
+    new_lsn_stats = {k: v for k, v in new_lsn_stats.items() if k in referenced}
 
     res = MergeResult(snapshot_version=version, touched_buckets=touched)
     for row in counters:
@@ -416,6 +430,8 @@ def _merge_mor(
         "num_buckets": table.num_buckets,
         "files": dict(manifest["files"]),  # base untouched
         "deltas": new_deltas,
+        "file_stats": dict(manifest.get("file_stats", {}) or {}),
+        "lsn_stats": new_lsn_stats,
         "properties": {
             "batch_id": batch_id,
             "start_lsn": start_lsn,

@@ -247,11 +247,17 @@ class LakeTable:
                         + int(summary.get("inserts") or 0)
                         - int(summary.get("deletes") or 0)
                     )
-                merged_stats = {
-                    **(latest.get("file_stats", {}) or {}),
-                    **(attempt.get("file_stats", {}) or {}),
+                referenced = {f for fs in new_files.values() for f in fs} | {
+                    f for fs in new_deltas.values() for f in fs
                 }
-                referenced = {f for fs in new_files.values() for f in fs}
+
+                def _merged(field_name: str) -> dict:
+                    merged = {
+                        **(latest.get(field_name, {}) or {}),
+                        **(attempt.get(field_name, {}) or {}),
+                    }
+                    return {k: v for k, v in merged.items() if k in referenced}
+
                 attempt = {
                     **attempt,
                     "version": latest["version"] + 1,
@@ -259,9 +265,8 @@ class LakeTable:
                     "schema": merged_schema,
                     "files": new_files,
                     "deltas": new_deltas,
-                    "file_stats": {
-                        k: v for k, v in merged_stats.items() if k in referenced
-                    },
+                    "file_stats": _merged("file_stats"),
+                    "lsn_stats": _merged("lsn_stats"),
                     "summary": summary,
                 }
         raise CommitConflict(
@@ -377,14 +382,18 @@ class LakeTable:
         partition discovery, and files predating a schema evolution read
         the new columns as null.
 
-        Merge-on-read resolution is strictly per-bucket: only buckets
-        carrying delta files pay the resolve cost — their base∪delta
-        rows fold through the same ``max_by``-LWW aggregate the ingest
-        path uses (winning tombstones drop the key) and the groupBy
-        shuffles only those buckets' rows. Clean buckets are scanned
-        directly and unioned in, so one delta-carrying bucket never
-        forces a full-table aggregation on a wide read (the 10^10-row
-        design point).
+        Merge-on-read resolution is strictly per-bucket: clean buckets
+        scan base files directly; delta-carrying buckets resolve. When
+        the manifest's per-file LSN bounds PROVE every delta row
+        postdates every base row (always true in-contract — base only
+        changes by folding older deltas), resolution is a broadcast
+        anti-join of the base against the delta winners' keys plus an
+        LWW aggregate over the (small) deltas alone: the base is never
+        shuffled. Otherwise the bucket falls back to the general
+        base∪delta ``max_by``-LWW aggregate (same op the ingest path
+        uses; winning tombstones drop the key). Either way one dirty
+        bucket never forces a full-table aggregation on a wide read
+        (the 10^10-row design point).
         """
         from pyspark.sql import functions as F
 
@@ -392,44 +401,96 @@ class LakeTable:
         phys = self._physical_schema(m)
         files_map = m.get("files", {}) or {}
         delta_map = m.get("deltas", {}) or {}
+        lsn_stats = m.get("lsn_stats", {}) or {}
         requested = (
             [str(b) for b in buckets]
             if buckets is not None
             else sorted(set(files_map) | set(delta_map), key=int)
         )
-        dirty = [int(b) for b in requested if delta_map.get(b)]
+        dirty = [b for b in requested if delta_map.get(b)]
         clean = [int(b) for b in requested if not delta_map.get(b)]
-        clean_df = self._scan(self._files_for(clean, manifest=m), phys)
+        out = self._scan(self._files_for(clean, manifest=m), phys)
         if not dirty:
-            return clean_df if include_meta else clean_df.drop(LSN_COL)
+            return out if include_meta else out.drop(LSN_COL)
+
+        # split dirty buckets by whether the manifest's per-file LSN
+        # bounds PROVE every delta row postdates every base row (always
+        # true in-contract: base only changes by folding older deltas).
+        # Proven buckets take the anti-join fast path — the (large) base
+        # is never shuffled; only the (small) delta set is aggregated.
+        fast: list[str] = []
+        slow: list[str] = []
+        for b in dirty:
+            bf = files_map.get(b, [])
+            df_ = delta_map.get(b, [])
+            if not bf:
+                fast.append(b)  # no base: resolve among deltas alone
+                continue
+            if all(f in lsn_stats for f in bf) and all(f in lsn_stats for f in df_):
+                base_hi = max(lsn_stats[f][1] for f in bf)
+                delta_lo = min(lsn_stats[f][0] for f in df_)
+                (fast if delta_lo > base_hi else slow).append(b)
+            else:
+                slow.append(b)
 
         import pyspark.sql.types as T
 
         delta_schema = T.StructType(
             list(phys.fields) + [T.StructField(OP_COL, T.StringType(), True)]
         )
-        base = self._scan(self._files_for(dirty, manifest=m), phys).withColumn(
-            OP_COL, F.lit("U")
-        )
-        deltas = self._scan(self._files_for(dirty, kind="deltas", manifest=m), delta_schema)
-        combined = base.unionByName(deltas)
         keys = list(m["key_cols"])
-        payload = [c for c in combined.columns if c not in keys]
-        ts_order = (
-            F.col("ts") if "ts" in combined.columns else F.lit(None).cast("timestamp")
-        )
-        winner = F.max_by(
-            F.struct(*[F.col(c) for c in payload]),
-            F.struct(F.col(LSN_COL), ts_order),
-        ).alias("_w")
-        resolved = (
-            combined.groupBy(*keys)
-            .agg(winner)
-            .select(*keys, "_w.*")
-            .where(F.col(OP_COL) != "D")
-            .select(*[F.col(f.name) for f in phys.fields])
-        )
-        out = clean_df.unionByName(resolved)
+
+        def lww_winner(df_in):
+            payload = [c for c in df_in.columns if c not in keys]
+            ts_order = (
+                F.col("ts")
+                if "ts" in df_in.columns
+                else F.lit(None).cast("timestamp")
+            )
+            winner = F.max_by(
+                F.struct(*[F.col(c) for c in payload]),
+                F.struct(F.col(LSN_COL), ts_order),
+            ).alias("_w")
+            return df_in.groupBy(*keys).agg(winner).select(*keys, "_w.*")
+
+        if fast:
+            fb = [int(b) for b in fast]
+            base_f = self._scan(self._files_for(fb, manifest=m), phys)
+            deltas_f = self._scan(
+                self._files_for(fb, kind="deltas", manifest=m), delta_schema
+            )
+            dwin = lww_winner(deltas_f)
+            dkeys = dwin.select(*keys)
+            small = (
+                sum(
+                    os.path.getsize(os.path.join(self.path, f))
+                    for b in fast
+                    for f in delta_map.get(b, [])
+                )
+                < 32 * 1024 * 1024
+            )
+            if small:
+                dkeys = F.broadcast(dkeys)
+            survivors = dwin.where(F.col(OP_COL) != "D").select(
+                *[F.col(f.name) for f in phys.fields]
+            )
+            fast_df = base_f.join(dkeys, keys, "leftanti").unionByName(survivors)
+            out = out.unionByName(fast_df)
+
+        if slow:
+            sb = [int(b) for b in slow]
+            base = self._scan(self._files_for(sb, manifest=m), phys).withColumn(
+                OP_COL, F.lit("U")
+            )
+            deltas = self._scan(
+                self._files_for(sb, kind="deltas", manifest=m), delta_schema
+            )
+            resolved = (
+                lww_winner(base.unionByName(deltas))
+                .where(F.col(OP_COL) != "D")
+                .select(*[F.col(f.name) for f in phys.fields])
+            )
+            out = out.unionByName(resolved)
         return out if include_meta else out.drop(LSN_COL)
 
     # ------------------------------------------------------------------ #
@@ -446,25 +507,28 @@ class LakeTable:
         return rel
 
     def _collect_file_stats(
-        self, bucket_files: dict[str, list[str]]
+        self, bucket_files: dict[str, list[str]], column: str | None = None
     ) -> dict[str, list]:
-        """Per-file [min, max] of the bucketing key from parquet footer
-        statistics (driver-side, just-written local files — the Iceberg
-        per-file column-bounds analogue). The range-partitioned write
-        makes files key-sorted ranges, so these bounds are tight and
-        point lookups can skip sibling files inside a bucket. (Parquet
-        truncates very long binary stats; keys here are short ids — a
-        deployment with long keys should compare against the truncated
-        max as a prefix upper bound.)"""
+        """Per-file [min, max] of ``column`` (default: the bucketing key)
+        from parquet footer statistics (driver-side, just-written local
+        files — the Iceberg per-file column-bounds analogue). The
+        range-partitioned write makes files key-sorted ranges, so key
+        bounds are tight and point lookups can skip sibling files; LSN
+        bounds prove delta/base disjointness for the fast MoR resolve.
+        (Parquet truncates very long binary stats; keys here are short
+        ids — a deployment with long keys should compare against the
+        truncated max as a prefix upper bound.)"""
         import pyarrow.parquet as pq
 
-        key0 = self.key_cols[0]
+        column = column or self.key_cols[0]
         out: dict[str, list] = {}
         for rels in bucket_files.values():
             for rel in rels:
                 try:
                     md = pq.ParquetFile(os.path.join(self.path, rel)).metadata
-                    idx = md.schema.to_arrow_schema().get_field_index(key0)
+                    idx = md.schema.to_arrow_schema().get_field_index(column)
+                    if idx < 0:
+                        continue
                     lo = hi = None
                     for rg in range(md.num_row_groups):
                         st = md.row_group(rg).column(idx).statistics

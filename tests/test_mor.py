@@ -133,6 +133,36 @@ def test_mor_read_resolves_only_delta_buckets(spark, workdir):
     )
 
 
+def test_mor_fast_resolve_anti_joins_fresh_deltas(spark, workdir):
+    """When the manifest's per-file LSN bounds prove every delta row
+    postdates every base row (the in-contract case), the read resolves
+    via broadcast anti-join — the base is never pushed through the LWW
+    aggregate; only the small delta set is."""
+    from gene_etl_spark.plans import formatted_plan
+
+    generate_change_stream(
+        os.path.join(workdir, "events"), n_convs=30, max_turns=10,
+        n_events=2000, seed=37, n_tranches=2,
+    )
+    r1 = CdcIngestRunner(spark, make_cfg(workdir, merge_mode="cow"))
+    r1.apply_batch(0, 1000)  # base files carry LSN bounds
+    r2 = CdcIngestRunner(spark, make_cfg(workdir, merge_mode="mor"))
+    r2.apply_batch(1000, 2000)  # fresh deltas, provably newer
+    table = r2.table
+    assert table.manifest.get("lsn_stats")
+    plan = formatted_plan(table.read())
+    # the slow path has no join at all; the fast path anti-joins the base
+    # against broadcast delta keys
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert_replay_equal(
+        table.read().toPandas(), materialize_expected(cfg_events(workdir))
+    )
+
+
+def cfg_events(workdir):
+    return os.path.join(workdir, "events")
+
+
 def test_mor_interop_with_cow(spark, workdir):
     """A CoW merge over a table carrying MoR deltas folds and clears them."""
     generate_change_stream(
