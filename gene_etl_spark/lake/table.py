@@ -432,6 +432,19 @@ class LakeTable:
                 (fast if delta_lo > base_hi else slow).append(b)
             else:
                 slow.append(b)
+        # the fast path only pays off when the delta keys broadcast (the
+        # base is then never shuffled); a delta too big to broadcast
+        # would force a sort-merge anti-join that shuffles AND sorts the
+        # base — worse than one hash aggregate. Fall back in that case.
+        if fast and any(files_map.get(b) for b in fast):
+            delta_bytes = sum(
+                os.path.getsize(os.path.join(self.path, f))
+                for b in fast
+                for f in delta_map.get(b, [])
+            )
+            if delta_bytes >= 32 * 1024 * 1024:
+                slow.extend(b for b in fast if files_map.get(b))
+                fast = [b for b in fast if not files_map.get(b)]
 
         import pyspark.sql.types as T
 
@@ -460,17 +473,7 @@ class LakeTable:
                 self._files_for(fb, kind="deltas", manifest=m), delta_schema
             )
             dwin = lww_winner(deltas_f)
-            dkeys = dwin.select(*keys)
-            small = (
-                sum(
-                    os.path.getsize(os.path.join(self.path, f))
-                    for b in fast
-                    for f in delta_map.get(b, [])
-                )
-                < 32 * 1024 * 1024
-            )
-            if small:
-                dkeys = F.broadcast(dkeys)
+            dkeys = F.broadcast(dwin.select(*keys))
             survivors = dwin.where(F.col(OP_COL) != "D").select(
                 *[F.col(f.name) for f in phys.fields]
             )
