@@ -107,8 +107,24 @@ def read_changes(
             raise ValueError(
                 f"snapshot v{v} is missing from the manifest chain at {table.path}"
             )
-        parent = by_version.get(m.get("parent"), {"deltas": {}, "files": {}})
         op = m.get("summary", {}).get("operation")
+        parent_v = m.get("parent")
+        parent = by_version.get(parent_v)
+        if parent is None:
+            # a change-producing commit needs its parent snapshot to
+            # diff against — on BOTH paths: the CoW diff reads the
+            # parent outright, and the MoR path diffs delta-file sets
+            # (an empty placeholder would mis-report the parent's
+            # surviving deltas as newly added). Report the broken
+            # chain instead of guessing.
+            if parent_v is not None and op in ("merge", "merge-mor"):
+                raise ValueError(
+                    f"snapshot v{parent_v} (parent of v{v}) is missing from"
+                    f" the manifest chain at {table.path} — expired past the"
+                    " retention window; re-baseline the consumer from a full"
+                    " snapshot read"
+                )
+            parent = {"deltas": {}, "files": {}}
         if op == "merge-mor":
             part = _mor_commit_changes(table, m, parent)
         elif op == "merge":

@@ -194,9 +194,13 @@ class LakeTable:
                 latest = self.manifest  # re-read the winner chain
                 base_version = attempt["parent"]
                 batch_id = (attempt.get("properties") or {}).get("batch_id")
+                # parent None = we thought we were creating the table;
+                # losing that race means EVERY existing commit is a
+                # winner to check against (an empty winners list here
+                # would skip both safety checks and rebase blindly)
                 winners = [
                     m for m in self.history()
-                    if base_version is not None and m["version"] > base_version
+                    if base_version is None or m["version"] > base_version
                 ]
                 if batch_id and any(
                     (m.get("properties") or {}).get("batch_id") == batch_id
@@ -540,7 +544,21 @@ class LakeTable:
                             break
                         lo = st.min if lo is None else min(lo, st.min)
                         hi = st.max if hi is None else max(hi, st.max)
-                    if lo is not None:
+                    # JSON-safety gate: pyarrow returns raw typed stats
+                    # (bytes / timestamps / decimals for such columns),
+                    # which would blow up json.dump at manifest-write
+                    # time — OUTSIDE this try/except — and fail the
+                    # commit. Stats are an optimization: skip the file
+                    # unless both bounds are plain JSON scalars that
+                    # also compare consistently at read time.
+                    if (
+                        lo is not None
+                        and all(
+                            isinstance(v, (int, float, str))
+                            and not isinstance(v, bool)
+                            for v in (lo, hi)
+                        )
+                    ):
                         out[rel] = [lo, hi]
                 except Exception:  # stats are an optimization, never a failure
                     continue

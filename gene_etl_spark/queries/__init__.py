@@ -35,6 +35,14 @@ def _ansi_off(fn):
 
 
 def all_queries():
+    """Registry, ordered for the driver's 50-query correctness cap: the
+    flagship CDC/engine entries and the Arrow-kernel family come FIRST
+    (round-2 verdict: the core MERGE path must hold a driver-green row),
+    then the relational and training-data batteries. Entries WITHOUT a
+    DuckDB oracle (rows-only by design: p-values/tau-b aren't
+    SQL-expressible) sort to the END so the capped prefix is 100%
+    value-hash-gated — the registry holds exactly 50 oracle-gated
+    entries plus the rows-only tail."""
     from gene_etl_spark.queries import (
         cdc,
         kernels,
@@ -46,7 +54,9 @@ def all_queries():
 
     q: dict = {}
     o: dict = {}
-    for mod in (relational, relational2, relational3, textops, kernels, cdc):
+    for mod in (cdc, kernels, relational, relational2, relational3, textops):
         q.update({k: _ansi_off(v) for k, v in mod.QUERIES.items()})
         o.update(mod.ORACLES)
-    return q, o
+    ordered = {k: v for k, v in q.items() if k in o}
+    ordered.update({k: v for k, v in q.items() if k not in o})
+    return ordered, o

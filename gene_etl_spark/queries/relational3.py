@@ -169,6 +169,125 @@ JOIN supplier sb ON supp_b = sb.s_suppkey
 
 
 # --------------------------------------------------------------------- #
+# The reference's REAL candidate pipeline, composed end-to-end: pairwise
+# corr → per-pair p-value → per-cohort BH-FDR q → candidate view banded
+# on q_value (models.py:241-266 VW_GENE_PAIRS_CANDIDATE +
+# etl/correlate.py:149-189 per-cohort FDR). Cohort = supplier-a's
+# nation (the analogue of the reference's per-illness FDR partitions),
+# so every window below is cohort-partitioned — no single-partition
+# global window at any scale; only the final rank runs global, over a
+# TakeOrdered prefix of CANDIDATE_TOPN rows.
+#
+# The p-value is the RATIONAL p-twin p = (1 - rho²) / (1 + (n-3)·rho²):
+# monotone decreasing in |rho| and in n like the t-test p, but built
+# from +,·,/ only, which IEEE-754 guarantees bitwise-identical across
+# engines — transcendentals (exp/erf) may differ in the last ulp and
+# would poison the value-hash gate. The exact t/betainc kernel is the
+# rows-only `pairwise_corr_p` entry (operators/stats.py:153). Banding
+# thresholds are the reference's q cuts; on this null synthetic corpus
+# BH correctly drives every q toward 1, so the band column honestly
+# reads 'Not Significant' while rho/p/q carry full hash signal.
+# --------------------------------------------------------------------- #
+def q_candidate_view_q(spark, sf_dir):
+    pairs = q_pairwise_corr(spark, sf_dir).where(F.col("rho").isNotNull())
+    sup = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("supp_a"), F.col("s_nationkey").alias("cohort")
+    )
+    nat = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cohort"), F.col("n_name").alias("cohort_nation")
+    )
+    rho2 = F.col("rho") * F.col("rho")
+    p = (F.lit(1.0) - rho2) / (
+        F.lit(1.0) + (F.col("n_samples") - F.lit(3)) * rho2
+    )
+    df = pairs.join(F.broadcast(sup), "supp_a").withColumn("p_value", p)
+    grp = Window.partitionBy("cohort")
+    n = F.count(F.lit(1)).over(grp)
+    r = F.row_number().over(
+        grp.orderBy(F.asc("p_value"), F.asc("supp_a"), F.asc("supp_b"))
+    )
+    df = df.withColumn("raw_q", F.col("p_value") * n / r)
+    wsuf = grp.orderBy(
+        F.desc("p_value"), F.desc("supp_a"), F.desc("supp_b")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df = df.withColumn(
+        "q_value", F.least(F.min("raw_q").over(wsuf), F.lit(1.0))
+    )
+    top = df.orderBy(
+        F.asc("q_value"), F.asc("p_value"), F.asc("supp_a"), F.asc("supp_b")
+    ).limit(CANDIDATE_TOPN)
+    w = Window.orderBy(
+        F.asc("q_value"), F.asc("p_value"), F.asc("supp_a"), F.asc("supp_b")
+    )
+    banding = (
+        F.when(F.col("q_value") <= 0.01, "Highly Significant")
+        .when(F.col("q_value") <= 0.05, "Significant")
+        .when(F.col("q_value") <= 0.25, "Marginally Significant")
+        .otherwise("Not Significant")
+    )
+    return (
+        top.join(F.broadcast(nat), "cohort")
+        .withColumn("candidate_rank", F.row_number().over(w).cast("long"))
+        .select(
+            "candidate_rank",
+            "cohort_nation",
+            "supp_a",
+            "supp_b",
+            "rho",
+            F.round("p_value", 8).alias("p_value"),
+            F.round("q_value", 8).alias("q_value"),
+            banding.alias("significance_category"),
+        )
+    )
+
+
+SQL_CANDIDATE_VIEW_Q = f"""
+WITH m AS (
+  SELECT l_suppkey, l_orderkey, SUM(l_quantity) AS v
+  FROM lineitem GROUP BY 1, 2
+), c AS (
+  SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b,
+         ROUND(CORR(a.v, b.v), 6) AS rho,
+         COUNT(*)::BIGINT AS n_samples
+  FROM m a JOIN m b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {MIN_PAIR_N}
+), j AS (
+  SELECT c.*, s.s_nationkey AS cohort,
+         (1.0 - rho * rho) / (1.0 + (n_samples - 3) * (rho * rho)) AS p_value
+  FROM c JOIN supplier s ON c.supp_a = s.s_suppkey
+  WHERE rho IS NOT NULL
+), ranked AS (
+  SELECT *,
+         COUNT(*) OVER (PARTITION BY cohort) AS n,
+         ROW_NUMBER() OVER (PARTITION BY cohort
+                            ORDER BY p_value ASC, supp_a ASC, supp_b ASC) AS r
+  FROM j
+), qq AS (
+  SELECT *, LEAST(MIN(p_value * n / r) OVER (
+              PARTITION BY cohort ORDER BY p_value DESC, supp_a DESC, supp_b DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0) AS q_value
+  FROM ranked
+), cand AS (
+  SELECT * FROM qq
+  ORDER BY q_value ASC, p_value ASC, supp_a ASC, supp_b ASC
+  LIMIT {CANDIDATE_TOPN}
+)
+SELECT ROW_NUMBER() OVER (ORDER BY q_value ASC, p_value ASC,
+                          supp_a ASC, supp_b ASC)::BIGINT AS candidate_rank,
+       n.n_name AS cohort_nation,
+       supp_a, supp_b, rho,
+       ROUND(p_value, 8) AS p_value,
+       ROUND(q_value, 8) AS q_value,
+       CASE WHEN q_value <= 0.01 THEN 'Highly Significant'
+            WHEN q_value <= 0.05 THEN 'Significant'
+            WHEN q_value <= 0.25 THEN 'Marginally Significant'
+            ELSE 'Not Significant' END AS significance_category
+FROM cand JOIN nation n ON cand.cohort = n.n_nationkey
+"""
+
+
+# --------------------------------------------------------------------- #
 # S7: explicit Parquet export sink with row paging. The reference
 # exports results in offset/limit pages of 100k rows, one Parquet file
 # per page (etl/io.py:289-335); the distributed analogue is
@@ -229,11 +348,13 @@ FROM orders WHERE o_orderstatus = 'F'
 QUERIES = {
     "corr_kendall": q_corr_kendall,
     "candidate_view": q_candidate_view,
+    "candidate_view_q": q_candidate_view_q,
     "export_pages": q_export_pages,
 }
 
 ORACLES = {
     "corr_kendall": SQL_CORR_KENDALL,
     "candidate_view": SQL_CANDIDATE_VIEW,
+    "candidate_view_q": SQL_CANDIDATE_VIEW_Q,
     "export_pages": SQL_EXPORT_PAGES,
 }

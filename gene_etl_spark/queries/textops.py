@@ -48,6 +48,30 @@ NUM_BANDS = NUM_HASHES // BAND_SIZE
 # --------------------------------------------------------------------- #
 # shared building blocks (Spark side + the SQL CTE that mirrors them)
 # --------------------------------------------------------------------- #
+_SKETCHES: list[DataFrame] = []
+
+
+def _release_sketches() -> None:
+    """Unpersist sketch tables left behind by a PREVIOUS query
+    invocation. The driver battery / bench run dozens of queries in one
+    long-lived session; without this every invocation leaks its
+    MEMORY_AND_DISK sketch blocks (round-2 ADVICE). Called at the entry
+    of each sketch-building query, BEFORE it persists anything —
+    already-returned lazy plans from earlier invocations simply
+    recompute if re-materialized (unpersist is always safe)."""
+    for df in _SKETCHES:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _SKETCHES.clear()
+
+
+def _persist_sketch(df: DataFrame) -> DataFrame:
+    _SKETCHES.append(df)
+    return df.persist()
+
+
 def _fan_out_small_scan(df: DataFrame) -> DataFrame:
     """Downstream operators here explode each row ~50× (shingles,
     tokens) and run wide aggregates — CPU-heavy map work. A small input
@@ -185,10 +209,10 @@ def q_doc_winnow(spark, sf_dir):
         F.sequence(F.lit(1), n_windows),
         lambda j: F.array_min(F.slice("kh", j, WINNOW_W)),
     )
-    return (
-        d.select("doc_id", F.explode(F.array_distinct(wins)).alias("fp"))
-        .distinct()
-    )
+    # per-doc fingerprints are already unique (array_distinct before the
+    # explode), so no trailing distinct — it would be a full extra
+    # shuffle over the fingerprint relation for nothing
+    return d.select("doc_id", F.explode(F.array_distinct(wins)).alias("fp"))
 
 
 SQL_DOC_WINNOW = (
@@ -204,7 +228,7 @@ grams AS (
   FROM docs_norm
   WHERE length(norm) >= {WINNOW_K + WINNOW_W - 1}
 )
-SELECT DISTINCT doc_id,
+SELECT doc_id,
        unnest(list_distinct(list_transform(
          range(1, len(kh) - {WINNOW_W - 1} + 1),
          j -> list_min(kh[j:j + {WINNOW_W - 1}])
@@ -232,10 +256,11 @@ def capped_shingles(spark, sf_dir) -> DataFrame:
     # the shingle table feeds four branches (df filter, per-doc counts,
     # both pair-join sides): materialize it once — the same "build the
     # posting list, then join it" shape a corpus-scale pipeline uses
-    return out.persist()
+    return _persist_sketch(out)
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
+    _release_sketches()
     # join on the 60-bit shingle hash, not the string: same semantics in
     # both engines (hash applied in the oracle too), ~3× cheaper shuffle
     s = capped_shingles(spark, sf_dir)
@@ -304,10 +329,6 @@ def minhash_signatures(spark, sf_dir) -> DataFrame:
     return doc_shingles(spark, sf_dir).groupBy("doc_id").agg(*_minhash_agg_cols())
 
 
-def q_dedup_minhash(spark, sf_dir):
-    return minhash_signatures(spark, sf_dir)
-
-
 def _sql_minhash_sig() -> str:
     hs = f"(('0x' || substr(md5(sh), 1, 15))::BIGINT % {TOKEN_P})"
     mins = ",\n       ".join(
@@ -324,9 +345,6 @@ sig AS (
 )
 """
     )
-
-
-SQL_DEDUP_MINHASH = "WITH " + _sql_minhash_sig() + "\nSELECT * FROM sig\n"
 
 
 def lsh_buckets(spark, sf_dir) -> DataFrame:
@@ -348,7 +366,7 @@ def lsh_buckets(spark, sf_dir) -> DataFrame:
     out = sig.select("doc_id", F.array(*bucket_cols).alias("bkts")).select(
         "doc_id", "bkts", F.posexplode("bkts").alias("band", "bucket")
     )
-    return out.persist()
+    return _persist_sketch(out)
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
@@ -357,6 +375,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     once, at its FIRST matching band (earlier bands must differ), which
     replaces the distinct() with a row-local predicate — no dedup
     shuffle over the candidate set."""
+    _release_sketches()
     buckets = lsh_buckets(spark, sf_dir)
     a = buckets.select(
         F.col("doc_id").alias("doc_a"), F.col("bkts").alias("ba"), "band", "bucket"
@@ -434,10 +453,6 @@ def simhash_signatures(spark, sf_dir) -> DataFrame:
     return agg.select("doc_id", sim.cast("long").alias("simhash"))
 
 
-def q_dedup_simhash(spark, sf_dir):
-    return simhash_signatures(spark, sf_dir)
-
-
 def _sql_simhash_sig() -> str:
     hs = "('0x' || substr(md5(tok), 1, 15))::BIGINT"
     votes = ",\n       ".join(
@@ -465,9 +480,6 @@ simhash_sig AS (
     )
 
 
-SQL_DEDUP_SIMHASH = "WITH " + _sql_simhash_sig() + "\nSELECT doc_id, simhash FROM simhash_sig\n"
-
-
 def simhash_bands(spark, sf_dir) -> DataFrame:
     """(doc_id, simhash, band, bits): the signature split into
     SIMHASH_BANDS exact bands via one explode — the pigeonhole index for
@@ -489,7 +501,7 @@ def simhash_bands(spark, sf_dir) -> DataFrame:
     ).select(
         "doc_id", "simhash", F.col("e.band").alias("band"), F.col("e.bits").alias("bits")
     )
-    return out.persist()
+    return _persist_sketch(out)
 
 
 def q_simhash_near_pairs(spark, sf_dir):
@@ -502,6 +514,7 @@ def q_simhash_near_pairs(spark, sf_dir):
     Pairs agreeing on several bands are emitted only at their FIRST
     matching band (row-local predicate over the full signatures), so no
     distinct shuffle runs over the candidate set."""
+    _release_sketches()
 
     def band_bits(col, j):
         start, width = SIMHASH_BAND_RANGES[j]
@@ -561,54 +574,85 @@ def _cos(a, b):
     return cosine_sim(a, b)
 
 
+EMB_BLOCKS = 8  # block-decomposed brute force: B(B+1)/2 block-pair tasks
+
+
 def q_embedding_topk_pairs(spark, sf_dir):
-    """Brute-force cosine top-k pairs via a broadcast numpy matmul
-    kernel: each Arrow batch computes its rows against the full (small)
-    matrix and emits only its local top-k; a global TakeOrdered picks
-    the final k. This is the standard broadcast-brute-force ANN baseline
-    — the theta-join form costs O(n²) expression evals; the kernel does
-    the same flops in one BLAS call. At corpus sizes where the matrix no
-    longer broadcasts, the LSH/IVF variants below are the scale path."""
+    """Brute-force cosine top-k pairs with NO driver-side collect and no
+    full-corpus broadcast: the classic block decomposition of all-pairs.
+    Vectors hash into EMB_BLOCKS blocks; each unordered block pair
+    (pa <= pb) becomes one Arrow group that BLAS-multiplies its two
+    blocks and emits only its local top-k (+tie buffer); a global
+    TakeOrdered picks the final k. Total work is O(n²) — exact brute
+    force costs that by definition — but it is spread across B(B+1)/2
+    independent tasks holding O(n/B) rows each, so neither the driver
+    nor any one executor ever materializes the corpus. At real corpus
+    scale raise EMB_BLOCKS so a block fits an Arrow batch; the LSH/IVF
+    variants below remain the sub-quadratic scale path."""
     import numpy as np
     import pandas as pd
+    import pyspark.sql.types as T
 
-    e = _emb(spark, sf_dir).select("vec_id", "embedding")
-    pdf = e.toPandas()
-    ids_all = pdf["vec_id"].to_numpy(dtype=np.int64)
-    m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-    m = m / np.linalg.norm(m, axis=1, keepdims=True)
-    order = np.argsort(ids_all)
-    ids_all, m = ids_all[order], m[order]
-    b_m = spark.sparkContext.broadcast(m)
-    b_ids = spark.sparkContext.broadcast(ids_all)
+    e = _emb(spark, sf_dir).select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.col("vec_id"), F.lit(EMB_BLOCKS)).cast("int").alias("blk"),
+    )
+    block_pairs = spark.createDataFrame(
+        [(pa, pb) for pa in range(EMB_BLOCKS) for pb in range(pa, EMB_BLOCKS)],
+        "pa int, pb int",
+    )
+    repl = e.join(
+        F.broadcast(block_pairs),
+        (F.col("blk") == F.col("pa")) | (F.col("blk") == F.col("pb")),
+    )
     k = TOPK_PAIRS
 
-    def local_topk(batches):
-        mm, mids = b_m.value, b_ids.value
-        for bdf in batches:
-            idx = bdf["vec_id"].to_numpy(dtype=np.int64)
-            x = np.array(bdf["embedding"].tolist(), dtype=np.float64)
-            x = x / np.linalg.norm(x, axis=1, keepdims=True)
-            c = x @ mm.T
-            mask = idx[:, None] < mids[None, :]  # canonical a < b only
-            c = np.where(mask, c, -np.inf)
+    def block_topk(pdf):
+        empty = pd.DataFrame(
+            {
+                "vec_a": np.array([], dtype=np.int64),
+                "vec_b": np.array([], dtype=np.int64),
+                "cosine": np.array([], dtype=np.float64),
+            }
+        )
+        pa, pb = int(pdf["pa"].iloc[0]), int(pdf["pb"].iloc[0])
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        if pa == pb:
+            ia, a, ib, b = ids, m, ids, m
+        else:
+            sel = pdf["blk"].to_numpy() == pa
+            ia, a = ids[sel], m[sel]
+            ib, b = ids[~sel], m[~sel]
+        if len(ia) == 0 or len(ib) == 0:
+            return empty
+        c = a @ b.T
+        if pa == pb:
+            # upper triangle only: each within-block pair once
+            mask = ia[:, None] < ib[None, :]
+            flat = np.where(mask, c, -np.inf).ravel()
+            n_valid = int(mask.sum())
+        else:
+            # cross-block: every (i, j) is a distinct unordered pair
             flat = c.ravel()
-            # +32 buffer: pairs that tie at the rounded 5th decimal across
-            # the local cut must all reach the global ordering
-            n_take = min(k + 32, int(mask.sum()))
-            if n_take == 0:
-                continue
-            top = np.argpartition(-flat, n_take - 1)[:n_take]
-            rows, cols = np.unravel_index(top, c.shape)
-            yield pd.DataFrame(
-                {
-                    "vec_a": idx[rows],
-                    "vec_b": mids[cols],
-                    "cosine": np.round(flat[top], 5),
-                }
-            )
-
-    import pyspark.sql.types as T
+            n_valid = flat.size
+        # +32 buffer: pairs that tie at the rounded 5th decimal across
+        # the local cut must all reach the global ordering
+        n_take = min(k + 32, n_valid)
+        if n_take == 0:
+            return empty
+        top = np.argpartition(-flat, n_take - 1)[:n_take]
+        rows, cols = np.unravel_index(top, c.shape)
+        va, vb = ia[rows], ib[cols]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(va, vb),
+                "vec_b": np.maximum(va, vb),
+                "cosine": np.round(flat[top], 5),
+            }
+        )
 
     schema = T.StructType(
         [
@@ -618,7 +662,9 @@ def q_embedding_topk_pairs(spark, sf_dir):
         ]
     )
     return (
-        e.mapInPandas(local_topk, schema)
+        repl.groupBy("pa", "pb")
+        .applyInPandas(block_topk, schema)
+        .where(F.col("cosine") != float("-inf"))
         .orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b"))
         .limit(TOPK_PAIRS)
     )
@@ -657,7 +703,7 @@ def embedding_srp_buckets(spark, sf_dir) -> DataFrame:
         )
         bit = F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = bit if bucket is None else (bucket + bit)
-    return e.select("vec_id", "emb", bucket.cast("long").alias("bucket")).persist()
+    return _persist_sketch(e.select("vec_id", "emb", bucket.cast("long").alias("bucket")))
 
 
 def q_embedding_lsh_pairs(spark, sf_dir):
@@ -734,36 +780,6 @@ LIMIT {ANN_K}
 """
 
 
-def q_ann_ivf(spark, sf_dir):
-    """IVF-style pruned ANN: probe only the query's coarse cell (`label`
-    stands in for the coarse quantizer assignment), scanning ~1/K of the
-    corpus — the partition-pruned scale path."""
-    e = _emb(spark, sf_dir)
-    q = e.orderBy("vec_id").limit(1).select(
-        F.col("embedding").alias("qe"), F.col("label").alias("qlabel")
-    )
-    c = F.round(_cos(F.col("embedding"), F.col("qe")), 5)
-    return (
-        e.crossJoin(F.broadcast(q))
-        .where((F.col("label") == F.col("qlabel")) & (F.col("vec_id") != 0))
-        .select("vec_id", c.alias("cosine"))
-        .orderBy(F.desc("cosine"), F.asc("vec_id"))
-        .limit(IVF_K)
-    )
-
-
-SQL_ANN_IVF = f"""
-WITH e AS (
-  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings
-), q AS (
-  SELECT emb AS qe, label AS qlabel FROM e ORDER BY vec_id LIMIT 1
-)
-SELECT vec_id, ROUND(list_cosine_similarity(emb, qe), 5) AS cosine
-FROM e, q WHERE label = qlabel AND vec_id != 0
-ORDER BY cosine DESC, vec_id ASC
-LIMIT {IVF_K}
-"""
-
 IVF_NPROBE = 2
 
 
@@ -773,7 +789,9 @@ def q_ann_ivf_multiprobe(spark, sf_dir):
     query↔centroid cosine and probes the NPROBE nearest, then exact
     cosine re-ranks inside the probed cells. Centroids are a tiny
     aggregate (n_cells rows) broadcast to prune the corpus scan — the
-    recall/cost dial a 10^9-vector deployment turns via nprobe."""
+    recall/cost dial a 10^9-vector deployment turns via nprobe.
+    (nprobe=1 is the round-2 `ann_ivf` single-probe entry, retired as a
+    registry twin — this plan with a length-1 probe list is identical.)"""
     e = _emb(spark, sf_dir).select(
         "vec_id",
         "label",
@@ -974,60 +992,6 @@ FROM per_doc GROUP BY 1
 
 
 # --------------------------------------------------------------------- #
-# composite training-data pipeline: quality gate → exact dedup →
-# per-language corpus stats (the filter→dedup→measure shape a pretraining
-# data pipeline runs at 100 TB; all stages stay in one Catalyst plan)
-# --------------------------------------------------------------------- #
-def q_quality_dedup_pipeline(spark, sf_dir):
-    d = docs_norm(spark, sf_dir).withColumn("toks", tokens_col())
-    n_tokens = F.size("toks").cast("long")
-    punct = F.length("text") - F.length(F.regexp_replace("text", r"[.!?,;:]", ""))
-    gated = d.where((n_tokens >= 30) & (punct / F.length("text") <= 0.2))
-    deduped = (
-        gated.withColumn("fingerprint", md5_long("norm"))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("fingerprint").orderBy("doc_id")
-            ),
-        )
-        .where(F.col("rn") == 1)
-    )
-    return deduped.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
-        F.round(F.avg(F.size(tokens_col())), 6).alias("avg_tokens"),
-        F.round(F.sum(F.length("text")), 0).cast("long").alias("total_chars"),
-    )
-
-
-SQL_QUALITY_DEDUP_PIPELINE = (
-    "WITH "
-    + SQL_DOCS_NORM.strip()
-    + r""",
-gated AS (
-  SELECT *, len(string_split(norm, ' '))::BIGINT AS n_tokens
-  FROM docs_norm
-  WHERE len(string_split(norm, ' ')) >= 30
-    AND (length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')))
-        / length(text)::DOUBLE <= 0.2
-),
-deduped AS (
-  SELECT * FROM (
-    SELECT *, ROW_NUMBER() OVER (
-        PARTITION BY ('0x' || substr(md5(norm), 1, 15))::BIGINT
-        ORDER BY doc_id) AS rn
-    FROM gated
-  ) WHERE rn = 1
-)
-SELECT lang, COUNT(*)::BIGINT AS n_docs_kept,
-       ROUND(AVG(n_tokens), 6) AS avg_tokens,
-       SUM(length(text))::BIGINT AS total_chars
-FROM deduped GROUP BY 1
-"""
-)
-
-
-# --------------------------------------------------------------------- #
 # corpus build pipeline with NEAR-dup removal: quality gate → MinHash-LSH
 # candidate pairs → canonical keep (drop every doc appearing as the
 # larger id of a candidate pair) → per-language corpus stats. The
@@ -1039,9 +1003,11 @@ def q_corpus_pipeline_lsh(spark, sf_dir):
     d = docs_norm(spark, sf_dir).withColumn("toks", tokens_col())
     n_tokens = F.size("toks").cast("long")
     gated = d.where(n_tokens >= 30)
+    # no distinct on the dupe-id set: anti-join semantics ignore
+    # right-side duplicates, so deduping first is a wasted shuffle
     dupes = q_dedup_minhash_lsh(spark, sf_dir).select(
         F.col("doc_b").alias("doc_id")
-    ).distinct()
+    )
     kept = gated.join(dupes, "doc_id", "leftanti")
     return kept.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
@@ -1061,7 +1027,7 @@ gated AS (
 ),
 kept AS (
   SELECT * FROM gated
-  WHERE doc_id NOT IN (SELECT DISTINCT doc_b FROM lsh_pairs)
+  WHERE doc_id NOT IN (SELECT doc_b FROM lsh_pairs)
 )
 SELECT lang, COUNT(*)::BIGINT AS n_docs_kept,
        ROUND(AVG(n_tokens), 6) AS avg_tokens,
@@ -1071,21 +1037,23 @@ FROM kept GROUP BY 1
 )
 
 
+# NOTE (round 3): four round-2 registry twins retired to fit the
+# driver's 50-query cap — `dedup_minhash` / `dedup_simhash` (signature
+# tables; the signature math stays value-gated transitively: the gated
+# pair oracles embed the identical sig CTE), `ann_ivf` (nprobe=1
+# degenerate case of `ann_ivf_multiprobe`), and `quality_dedup_pipeline`
+# (superseded by `corpus_pipeline_lsh`, the stronger composite).
 QUERIES = {
-    "quality_dedup_pipeline": q_quality_dedup_pipeline,
     "corpus_pipeline_lsh": q_corpus_pipeline_lsh,
     "dedup_exact": q_dedup_exact,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_winnow": q_doc_winnow,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_minhash": q_dedup_minhash,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_simhash": q_dedup_simhash,
     "simhash_near_pairs": q_simhash_near_pairs,
     "embedding_topk_pairs": q_embedding_topk_pairs,
     "embedding_lsh_pairs": q_embedding_lsh_pairs,
     "ann_topk": q_ann_topk,
-    "ann_ivf": q_ann_ivf,
     "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
     "lang_id": q_lang_id,
     "text_quality": q_text_quality,
@@ -1093,20 +1061,16 @@ QUERIES = {
 }
 
 ORACLES = {
-    "quality_dedup_pipeline": SQL_QUALITY_DEDUP_PIPELINE,
     "corpus_pipeline_lsh": SQL_CORPUS_PIPELINE_LSH,
     "dedup_exact": SQL_DEDUP_EXACT,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "doc_winnow": SQL_DOC_WINNOW,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
-    "dedup_minhash": SQL_DEDUP_MINHASH,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
-    "dedup_simhash": SQL_DEDUP_SIMHASH,
     "simhash_near_pairs": SQL_SIMHASH_NEAR_PAIRS,
     "embedding_topk_pairs": SQL_EMBEDDING_TOPK_PAIRS,
     "embedding_lsh_pairs": SQL_EMBEDDING_LSH_PAIRS,
     "ann_topk": SQL_ANN_TOPK,
-    "ann_ivf": SQL_ANN_IVF,
     "ann_ivf_multiprobe": SQL_ANN_IVF_MULTIPROBE,
     "lang_id": SQL_LANG_ID,
     "text_quality": SQL_TEXT_QUALITY,

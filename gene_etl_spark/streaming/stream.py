@@ -12,7 +12,9 @@ composes from three layers:
   The fence key is namespaced by the checkpoint directory because Spark
   restarts epoch numbering at 0 for a new/changed checkpoint — an
   unnamespaced ``stream-epoch-0`` from an earlier run would silently
-  swallow the new run's first epochs;
+  swallow the new run's first epochs. Lakes fenced by the legacy
+  pre-namespacing key remain protected: a legacy record fences an epoch
+  when it committed the identical LSN slice (see ``apply_epoch``);
 - the per-row ``(lsn, ts)`` guard in the MERGE makes even a forced
   re-apply converge.
 
@@ -90,8 +92,16 @@ def ingest_stream(
 
     def apply_epoch(df, epoch_id: int) -> None:
         batch_id = f"stream-{ckpt_fp}-epoch-{epoch_id}"
-        if batch_id in table.committed_batches():
+        committed = table.committed_batches()
+        if batch_id in committed:
             return  # fenced: epoch replayed after a crash (same checkpoint)
+        # compat with lakes fenced by the pre-namespacing key format
+        # ("stream-epoch-{id}"): such a record fences this epoch ONLY if
+        # it committed the exact same LSN slice — an unconditional match
+        # would re-swallow a NEW checkpoint's restarted epoch numbering
+        # (the very bug the namespaced key fixed), so the slice bounds
+        # disambiguate "legacy run replayed" from "fresh run, same id".
+        legacy = committed.get(f"stream-epoch-{epoch_id}")
         from pyspark.sql import functions as F
         from pyspark.storagelevel import StorageLevel
 
@@ -109,6 +119,12 @@ def ingest_stream(
             # recorded range makes Ledger.resume_lsn() land at this
             # epoch's high-water mark for any later batch run
             start_lsn, end_lsn = int(bounds["lo"]) - 1, int(bounds["hi"])
+            if (
+                legacy
+                and legacy.get("start_lsn") == start_lsn
+                and legacy.get("end_lsn") == end_lsn
+            ):
+                return  # fenced by a legacy-format commit of this same slice
             deduped = lww_dedup(
                 cached,
                 key_cols=config.key_cols,
