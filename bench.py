@@ -38,6 +38,7 @@ HEADLINE = [
     "corpus_pipeline_lsh",
     "doc_winnow",
     "candidate_view",
+    "candidate_view_q",
     "corr_kendall",
     "ann_topk",
     "lang_id",

@@ -39,25 +39,46 @@ SIMHASH_MAX_HAMMING = 2
 # search is an equi-join on (band, band_bits), never a cartesian. Bands
 # split the sketch as evenly as possible (widths differ by <= 1 bit).
 SIMHASH_BANDS = SIMHASH_MAX_HAMMING + 1
-_w, _extra = divmod(SIMHASH_BITS, SIMHASH_BANDS)
-SIMHASH_BAND_RANGES: list[tuple[int, int]] = []  # (start_bit, width)
-_start = 0
-for _i in range(SIMHASH_BANDS):
-    _width = _w + (1 if _i < _extra else 0)
-    SIMHASH_BAND_RANGES.append((_start, _width))
-    _start += _width
+
+
+def simhash_band_ranges(bits: int, n_bands: int) -> list[tuple[int, int]]:
+    """Even (start_bit, width) split of a ``bits``-wide signature into
+    ``n_bands`` exact bands (widths differ by <= 1). The corpus-scale
+    dial: the gated query runs 16 bits / 3 bands (radius 2, the
+    discriminative setting for the sandbox corpus); a 10^9-doc corpus
+    runs 64 bits (e.g. 4x16 bands = radius 3) — signature width must
+    grow with log2(n) so each band keeps ~O(1) docs per bucket. The
+    pigeonhole guarantee is width-independent (unit-tested at 16 and
+    64 bits)."""
+    w, extra = divmod(bits, n_bands)
+    out: list[tuple[int, int]] = []
+    start = 0
+    for i in range(n_bands):
+        width = w + (1 if i < extra else 0)
+        out.append((start, width))
+        start += width
+    return out
+
+
+SIMHASH_BAND_RANGES = simhash_band_ranges(SIMHASH_BITS, SIMHASH_BANDS)
 TOPK_PAIRS = 50
 ANN_K = 20
 IVF_K = 10
 
 # Random-hyperplane (SRP) LSH for embedding near-dup: deterministic
 # hyperplanes shared verbatim by the Spark exprs and the DuckDB oracle
-# (literal arrays, so no cross-engine float derivation). 8 planes ->
-# 256 buckets: enough collisions at test scale to exercise the re-rank;
-# at corpus scale raise NUM_HYPERPLANES (and/or OR multiple signature
-# bands) — the join stays an equi-join either way.
+# (literal arrays, so no cross-engine float derivation). OR-construction
+# over EMB_BANDS independent AND-bands of EMB_BAND_BITS sign bits each
+# (minhash-style banding): a near pair flipping one bit of one band
+# still collides in another band, so recall doesn't hinge on a single
+# 8-bit bucket. Candidates = union of per-band bucket equi-joins,
+# deduped at the first colliding band — no distinct shuffle, no
+# cartesian, at any corpus size. Recall/cost dials: more bands = higher
+# recall; more bits per band = fewer, tighter candidates.
 EMB_DIM = 64
-NUM_HYPERPLANES = 8
+EMB_BAND_BITS = 8
+EMB_BANDS = 3
+NUM_HYPERPLANES = EMB_BANDS * EMB_BAND_BITS
 _hp_rng = random.Random(20260817)
 HYPERPLANES = [
     [round(_hp_rng.uniform(-1.0, 1.0), 6) for _ in range(EMB_DIM)]

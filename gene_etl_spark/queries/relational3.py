@@ -1,6 +1,7 @@
-"""Round-2 parity battery: Kendall tau (X1 completion), the
-candidate-view composite read model, and the explicit row-paged
-Parquet export sink (S7).
+"""Parity battery: Kendall tau (X1 completion), the candidate-view
+composite read model, the fully composed corr -> p -> BH-FDR q ->
+q-banded candidate pipeline (the reference's real read model,
+models.py:241-266), and the explicit row-paged Parquet export sink (S7).
 """
 
 from __future__ import annotations

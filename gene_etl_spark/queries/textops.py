@@ -20,6 +20,8 @@ from gene_etl_spark.queries.common import (
     ANN_K,
     BAND_SIZE,
     BPE_ISH_PATTERN,
+    EMB_BAND_BITS,
+    EMB_BANDS,
     EMB_DIM,
     HYPERPLANES,
     IVF_K,
@@ -30,7 +32,6 @@ from gene_etl_spark.queries.common import (
     MINHASH_B,
     MINHASH_P,
     NUM_HASHES,
-    NUM_HYPERPLANES,
     SHINGLE_DF_CAP,
     SIMHASH_BAND_RANGES,
     SIMHASH_BITS,
@@ -432,24 +433,33 @@ SQL_DEDUP_MINHASH_LSH = (
 
 
 # --------------------------------------------------------------------- #
-# SimHash: 16-bit signature from token-hash bit votes (with multiplicity)
+# SimHash: signature from token-hash bit votes (with multiplicity).
+# Width is a parameter: the gated query runs SIMHASH_BITS=16 (sized to
+# the sandbox corpus); a 10^9-doc corpus runs 64 bits — same plan, the
+# token hash switches to the full-64-bit xxhash64 and the packing uses
+# shiftleft/OR (safe for bit 63, where a `+ (1 << 63)` literal can't go).
 # --------------------------------------------------------------------- #
-def simhash_signatures(spark, sf_dir) -> DataFrame:
+def simhash_signatures(spark, sf_dir, bits: int = SIMHASH_BITS) -> DataFrame:
     toks = docs_norm(spark, sf_dir).select(
         "doc_id", F.explode(tokens_col()).alias("tok")
     )
-    hs = md5_long("tok")
+    # md5_long carries 60 hash bits (15 hex chars) — plenty for the
+    # 16-bit gated form and cross-engine mirrorable; wider signatures
+    # draw from xxhash64's full 64 bits
+    hs = md5_long("tok") if bits <= 60 else F.xxhash64("tok")
     votes = [
         F.sum(
             F.when(F.shiftright(hs, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"v{b}")
-        for b in range(SIMHASH_BITS)
+        for b in range(bits)
     ]
     agg = toks.groupBy("doc_id").agg(*votes)
     sim = None
-    for b in range(SIMHASH_BITS):
-        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        sim = term if sim is None else (sim + term)
+    for b in range(bits):
+        term = F.when(
+            F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim.bitwiseOR(term)
     return agg.select("doc_id", sim.cast("long").alias("simhash"))
 
 
@@ -480,13 +490,17 @@ simhash_sig AS (
     )
 
 
-def simhash_bands(spark, sf_dir) -> DataFrame:
-    """(doc_id, simhash, band, bits): the signature split into
-    SIMHASH_BANDS exact bands via one explode — the pigeonhole index for
-    hamming-bounded search. Persisted: the sketch table is O(n_docs)
-    tiny and both self-join sides read it, so materializing it once is
-    exactly what a corpus-scale pipeline does with its signature table."""
-    sig = simhash_signatures(spark, sf_dir)
+def simhash_bands(
+    sig: DataFrame,
+    band_ranges: list[tuple[int, int]] = SIMHASH_BAND_RANGES,
+    persist: bool = True,
+) -> DataFrame:
+    """(doc_id, simhash, band, bits): a (doc_id, simhash) table split
+    into exact bands via one explode — the pigeonhole index for
+    hamming-bounded search. Persisted by default: the sketch table is
+    O(n_docs) tiny and both self-join sides read it, so materializing it
+    once is exactly what a corpus-scale pipeline does with its
+    signature table."""
     entries = [
         F.struct(
             F.lit(band).alias("band"),
@@ -494,33 +508,37 @@ def simhash_bands(spark, sf_dir) -> DataFrame:
             .bitwiseAND(F.lit((1 << width) - 1))
             .alias("bits"),
         )
-        for band, (start, width) in enumerate(SIMHASH_BAND_RANGES)
+        for band, (start, width) in enumerate(band_ranges)
     ]
     out = sig.select(
         "doc_id", "simhash", F.explode(F.array(*entries)).alias("e")
     ).select(
         "doc_id", "simhash", F.col("e.band").alias("band"), F.col("e.bits").alias("bits")
     )
-    return _persist_sketch(out)
+    return _persist_sketch(out) if persist else out
 
 
-def q_simhash_near_pairs(spark, sf_dir):
-    """Hamming-bounded near pairs WITHOUT a cartesian: split the
-    signature into SIMHASH_MAX_HAMMING + 1 bands — a pair within the
-    hamming budget must agree exactly on at least one band (pigeonhole),
-    so candidates come from an equi-join on (band, bits) and the exact
-    ``bit_count(xor)`` post-filter keeps semantics identical to the
-    all-pairs form (the DuckDB oracle still states the naive form).
-    Pairs agreeing on several bands are emitted only at their FIRST
-    matching band (row-local predicate over the full signatures), so no
-    distinct shuffle runs over the candidate set."""
-    _release_sketches()
+def simhash_pigeonhole_pairs(
+    sig: DataFrame,
+    band_ranges: list[tuple[int, int]] = SIMHASH_BAND_RANGES,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    persist: bool = True,
+) -> DataFrame:
+    """Hamming-bounded near pairs over a (doc_id, simhash) table WITHOUT
+    a cartesian, at any signature width: with len(band_ranges) >=
+    max_hamming + 1 exact bands, a pair within the hamming budget must
+    agree on at least one band (pigeonhole), so candidates come from an
+    equi-join on (band, bits) and the exact ``bit_count(xor)``
+    post-filter keeps semantics identical to the all-pairs form. Pairs
+    agreeing on several bands are emitted only at their FIRST matching
+    band (row-local predicate over the full signatures), so no distinct
+    shuffle runs over the candidate set."""
 
     def band_bits(col, j):
-        start, width = SIMHASH_BAND_RANGES[j]
+        start, width = band_ranges[j]
         return F.shiftright(col, start).bitwiseAND(F.lit((1 << width) - 1))
 
-    banded = simhash_bands(spark, sf_dir)
+    banded = simhash_bands(sig, band_ranges, persist=persist)
     a = banded.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "band", "bits"
     )
@@ -529,7 +547,7 @@ def q_simhash_near_pairs(spark, sf_dir):
     )
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     first_collision = F.lit(True)
-    for k in range(1, len(SIMHASH_BAND_RANGES)):
+    for k in range(1, len(band_ranges)):
         earlier_differ = None
         for j in range(k):
             c = band_bits(F.col("ha"), j) != band_bits(F.col("hb"), j)
@@ -541,11 +559,21 @@ def q_simhash_near_pairs(spark, sf_dir):
         a.join(b, ["band", "bits"])
         .where(
             (F.col("doc_a") < F.col("doc_b"))
-            & (ham <= SIMHASH_MAX_HAMMING)
+            & (ham <= max_hamming)
             & first_collision
         )
         .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
     )
+
+
+def q_simhash_near_pairs(spark, sf_dir):
+    """Gated 16-bit form of the pigeonhole near-pair search (the DuckDB
+    oracle states the naive all-pairs form; the plan is the banded
+    equi-join — asserted cartesian-free in tests). Width/radius are
+    config: see ``simhash_band_ranges`` in queries/common.py and the
+    64-bit pigeonhole unit test in tests/test_sketch_params.py."""
+    _release_sketches()
+    return simhash_pigeonhole_pairs(simhash_signatures(spark, sf_dir))
 
 
 SQL_SIMHASH_NEAR_PAIRS = (
@@ -683,44 +711,78 @@ LIMIT {TOPK_PAIRS}
 
 
 def embedding_srp_buckets(spark, sf_dir) -> DataFrame:
-    """(vec_id, emb, bucket): sign-random-projection LSH signature as
-    pure column expressions. Each of NUM_HYPERPLANES deterministic
-    hyperplanes (module constants, shared verbatim with the DuckDB
-    oracle) contributes one sign bit; the packed bits are the bucket.
-    Cosine-near vectors agree on most signs, so they collide — the
-    equi-joinable analogue of MinHash banding for embeddings."""
+    """(vec_id, emb, bkts, band, bucket): sign-random-projection LSH
+    signatures as pure column expressions, OR-constructed across
+    EMB_BANDS independent AND-bands of EMB_BAND_BITS sign bits each.
+    Band b packs the sign bits of hyperplanes [b*EMB_BAND_BITS,
+    (b+1)*EMB_BAND_BITS) (deterministic module constants, shared
+    verbatim with the DuckDB oracle). ``bkts`` (the full per-vector
+    bucket vector) rides along so the pair join can dedup by
+    first-collision band — the same single-pass shape as the MinHash
+    banding. One posexplode; persisted O(n) sketch."""
     e = _emb(spark, sf_dir).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
     )
-    bucket = None
-    for p, plane in enumerate(HYPERPLANES):
-        hp = F.array(*[F.lit(float(v)) for v in plane])
-        dot = F.aggregate(
-            F.zip_with(F.col("emb"), hp, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bit = F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else (bucket + bit)
-    return _persist_sketch(e.select("vec_id", "emb", bucket.cast("long").alias("bucket")))
+    band_cols = []
+    for band in range(EMB_BANDS):
+        bucket = None
+        for i in range(EMB_BAND_BITS):
+            plane = HYPERPLANES[band * EMB_BAND_BITS + i]
+            hp = F.array(*[F.lit(float(v)) for v in plane])
+            dot = F.aggregate(
+                F.zip_with(F.col("emb"), hp, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bit = F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+            bucket = bit if bucket is None else (bucket + bit)
+        band_cols.append(bucket.cast("long"))
+    out = e.select("vec_id", "emb", F.array(*band_cols).alias("bkts")).select(
+        "vec_id", "emb", "bkts", F.posexplode("bkts").alias("band", "bucket")
+    )
+    return _persist_sketch(out)
 
 
 def q_embedding_lsh_pairs(spark, sf_dir):
-    """Scale-path embedding near-dup: SRP-LSH bucket equi-join + exact
-    cosine re-rank. No driver collect, no broadcast matrix, no cartesian
-    — candidates come only from same-bucket collisions, then the exact
-    cosine orders the final top-k. ``q_embedding_topk_pairs`` remains the
-    small-N exhaustive twin; this is the shape that survives 10^9
-    vectors (raise NUM_HYPERPLANES / OR multiple bands to tune recall
-    vs candidate volume)."""
+    """Scale-path embedding near-dup: multi-band SRP-LSH bucket
+    equi-join + exact cosine re-rank. No driver collect, no broadcast
+    matrix, no cartesian — candidates are the union of per-band bucket
+    collisions (OR-construction: a near pair flipping one sign bit in
+    one band still collides in another band), each pair emitted once at
+    its FIRST matching band (row-local predicate, no distinct shuffle),
+    then the exact cosine orders the final top-k.
+    ``q_embedding_topk_pairs`` is the exhaustive twin; recall against it
+    is measured in tests/test_sketch_params.py."""
+    _release_sketches()
     sig = embedding_srp_buckets(spark, sf_dir)
-    a = sig.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"), "bucket")
-    b = sig.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"), "bucket")
+    a = sig.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("ea"),
+        F.col("bkts").alias("ba"),
+        "band",
+        "bucket",
+    )
+    b = sig.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("eb"),
+        F.col("bkts").alias("bb"),
+        "band",
+        "bucket",
+    )
+    first_collision = F.lit(True)
+    for k in range(1, EMB_BANDS):
+        earlier_differ = None
+        for j in range(k):
+            c = F.col("ba")[j] != F.col("bb")[j]
+            earlier_differ = c if earlier_differ is None else (earlier_differ & c)
+        first_collision = first_collision & F.when(
+            F.col("band") == k, earlier_differ
+        ).otherwise(F.lit(True))
     cos = F.round(_cos(F.col("ea"), F.col("eb")), 5)
     return (
-        a.join(b, "bucket")
-        .where(F.col("vec_a") < F.col("vec_b"))
+        a.join(b, ["band", "bucket"])
+        .where((F.col("vec_a") < F.col("vec_b")) & first_collision)
         .select("vec_a", "vec_b", cos.alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b"))
         .limit(TOPK_PAIRS)
@@ -728,24 +790,35 @@ def q_embedding_lsh_pairs(spark, sf_dir):
 
 
 def _sql_embedding_lsh() -> str:
-    bits = []
-    for p, plane in enumerate(HYPERPLANES):
-        arr = "[" + ", ".join(str(v) for v in plane) + "]"
-        bits.append(
-            f"(CASE WHEN list_dot_product(emb, {arr}) >= 0 THEN {1 << p} ELSE 0 END)"
-        )
-    bucket = "\n         + ".join(bits)
+    band_buckets = []
+    for band in range(EMB_BANDS):
+        bits = []
+        for i in range(EMB_BAND_BITS):
+            plane = HYPERPLANES[band * EMB_BAND_BITS + i]
+            arr = "[" + ", ".join(str(v) for v in plane) + "]"
+            bits.append(
+                f"(CASE WHEN list_dot_product(emb, {arr}) >= 0 THEN {1 << i} ELSE 0 END)"
+            )
+        band_buckets.append("(" + "\n         + ".join(bits) + ")::BIGINT")
+    band_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, emb, {band} AS band, {bucket} AS bucket FROM e"
+        for band, bucket in enumerate(band_buckets)
+    )
     return f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings
 ), sig AS (
-  SELECT vec_id, emb,
-         ({bucket})::BIGINT AS bucket
-  FROM e
+  {band_selects}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM sig a JOIN sig b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       ROUND(list_cosine_similarity(a.emb, b.emb), 5) AS cosine
-FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+SELECT vec_a, vec_b,
+       ROUND(list_cosine_similarity(ea.emb, eb.emb), 5) AS cosine
+FROM cand
+JOIN e ea ON vec_a = ea.vec_id
+JOIN e eb ON vec_b = eb.vec_id
 ORDER BY cosine DESC, vec_a ASC, vec_b ASC
 LIMIT {TOPK_PAIRS}
 """

@@ -180,7 +180,13 @@ class CdcIngestRunner:
             status="committed",
             config_hash=self.config_hash,
             snapshot_version=result.snapshot_version,
-            extra={"events_read": events_read, "applied": applied},
+            extra={
+                "events_read": events_read,
+                "applied": applied,
+                # SourceSnapshot lineage (reference models.py:166-180):
+                # which tranches fed this batch + source schema identity
+                "source_snapshot": self.source.snapshot(start_lsn, end_lsn),
+            },
         )
         return {
             "batch_id": batch_id,

@@ -56,6 +56,7 @@ class BinlogSource:
         # runner tailing a growing log must see tranches that appear
         # after its first read, so _groups() re-lists on every call.
         self._footer_cache: dict[str, tuple[str, ...]] = {}
+        self._lsn_bounds_cache: dict[str, tuple[int, int] | None] = {}
         self._last_fileset: tuple[str, ...] = ()
 
     # ------------------------------------------------------------------ #
@@ -126,6 +127,61 @@ class BinlogSource:
         return out.where(
             (F.col("lsn") > F.lit(start_lsn)) & (F.col("lsn") <= F.lit(end_lsn))
         )
+
+    def file_lsn_bounds(self, f: str) -> tuple[int, int] | None:
+        """[min_lsn, max_lsn] of one tranche from parquet footer stats
+        (driver-side, cached — tranches are immutable). None when the
+        format or footer can't say (jsonl, missing stats)."""
+        if f in self._lsn_bounds_cache:
+            return self._lsn_bounds_cache[f]
+        bounds: tuple[int, int] | None = None
+        if self.fmt == "parquet":
+            try:
+                md = pq.ParquetFile(f).metadata
+                idx = md.schema.to_arrow_schema().get_field_index("lsn")
+                lo = hi = None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        lo = hi = None
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                if lo is not None:
+                    bounds = (int(lo), int(hi))
+            except Exception:
+                bounds = None
+        self._lsn_bounds_cache[f] = bounds
+        return bounds
+
+    def snapshot(self, start_lsn: int | None = None, end_lsn: int | None = None) -> dict:
+        """SourceSnapshot lineage record (reference models.py:166-180
+        analogue): the identity of what a batch read — the contributing
+        tranche files (pruned by footer LSN bounds to those overlapping
+        the ``(start_lsn, end_lsn]`` slice, so a 10^6-tranche log never
+        lists wholesale into a ledger row), row-count-bearing file count,
+        declared-schema hash, and format. Stored per batch in the
+        ledger's ``source_snapshot`` field; ``events_read`` on the same
+        ledger row is the row-count reconciliation partner."""
+        import hashlib
+
+        sel = []
+        for f in self.files():
+            if start_lsn is not None and end_lsn is not None:
+                b = self.file_lsn_bounds(f)
+                # (start, end] overlap test; unknown bounds => keep (may contribute)
+                if b is not None and (b[1] <= start_lsn or b[0] > end_lsn):
+                    continue
+            sel.append(os.path.basename(f))
+        return {
+            "source_path": os.path.abspath(self.path),
+            "source_format": self.fmt,
+            "n_files": len(sel),
+            "files": sel,
+            "schema_hash": hashlib.md5(
+                self.schema.json().encode("utf-8")
+            ).hexdigest(),
+        }
 
     def max_lsn(self) -> int:
         row = None

@@ -144,7 +144,11 @@ def ingest_stream(
                 end_lsn=end_lsn,
                 status="committed",
                 snapshot_version=result.snapshot_version,
-                extra={"events_read": n, "stream_epoch": epoch_id},
+                extra={
+                    "events_read": n,
+                    "stream_epoch": epoch_id,
+                    "source_snapshot": source.snapshot(start_lsn, end_lsn),
+                },
             )
             metrics.append_rows(
                 [

@@ -143,6 +143,42 @@ def test_similarity_plans_have_no_cartesian(spark):
         assert "BroadcastNestedLoopJoin" not in plan, q.__name__
 
 
+def test_doc_winnow_plans_single_shuffle_free_pass(spark):
+    """Per-doc fingerprints are already unique (array_distinct before
+    the explode), so the winnow query must plan ZERO exchanges — the
+    round-2 trailing distinct() cost a full extra shuffle for nothing."""
+    from gene_etl_spark.plans import formatted_plan
+    from gene_etl_spark.queries.textops import q_doc_winnow
+
+    plan = formatted_plan(q_doc_winnow(spark, "/root/testdata/sf0.001"))
+    # the one allowed Exchange is the small-scan RoundRobin fan-out (a
+    # no-op at corpus scale); the distinct's hash-partitioned Exchange +
+    # HashAggregate pair must be gone
+    assert "hashpartitioning" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_corpus_pipeline_lsh_has_no_dupe_set_distinct(spark):
+    """Anti-join semantics ignore right-side duplicates: the dupe-id set
+    feeding the leftanti join must NOT be distinct-aggregated first (a
+    wasted shuffle at corpus scale). The pipeline's only aggregations
+    are the LSH signature agg, the shingle df-cap agg, and the final
+    per-language rollup."""
+    from gene_etl_spark.plans import formatted_plan
+    from gene_etl_spark.queries.textops import q_corpus_pipeline_lsh
+
+    plan = formatted_plan(q_corpus_pipeline_lsh(spark, "/root/testdata/sf0.001"))
+    # a distinct on (doc_id) right before the anti join would show up as
+    # a keys=[doc_id]-only HashAggregate with no aggregate functions
+    import re
+
+    distincts = [
+        m
+        for m in re.finditer(r"HashAggregate\(keys=\[doc_id[^]]*\], functions=\[\]", plan)
+    ]
+    assert not distincts, plan[:2000]
+
+
 def test_rank_page_uses_take_ordered(spark):
     """Pagination must prefix the rank window with a top-N
     (TakeOrderedAndProject: per-partition heaps) instead of sorting the

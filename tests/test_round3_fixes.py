@@ -186,6 +186,56 @@ def test_file_stats_json_safe_for_typed_columns(spark, workdir):
     assert stats[rel] == ["a", "b"]
 
 
+def test_source_snapshot_lineage_recorded_and_reconciles(spark, workdir):
+    """Every committed batch carries a SourceSnapshot lineage record
+    (contributing tranche files pruned by LSN bounds, schema hash), and
+    the per-batch events_read totals reconcile with the log."""
+    from gene_etl_spark.ledger import Ledger
+    from gene_etl_spark.runner import CdcIngestRunner
+
+    gen = generate_change_stream(
+        os.path.join(workdir, "events"),
+        n_convs=20,
+        max_turns=8,
+        n_events=2000,
+        seed=5,
+        n_tranches=4,
+        evolve_at_frac=0.0,
+    )
+    cfg = IngestConfig(
+        lake_path=os.path.join(workdir, "lake"),
+        events_path=os.path.join(workdir, "events"),
+        ledger_path=os.path.join(workdir, "ledger"),
+        metrics_path=os.path.join(workdir, "metrics"),
+        validation_path=os.path.join(workdir, "validation"),
+        num_buckets=8,
+        slice_lsn_width=500,
+    )
+    runner = CdcIngestRunner(spark, cfg)
+    summary = runner.run()
+    assert summary["n_batches"] >= 1
+
+    all_files = {os.path.basename(f) for f in runner.source.files()}
+    entries = Ledger(cfg.ledger_path).committed()
+    assert entries
+    schema_hashes = set()
+    total = 0
+    for e in entries:
+        snap = e.get("source_snapshot")
+        assert snap, f"ledger row {e['batch_id']} missing source_snapshot"
+        assert snap["n_files"] == len(snap["files"]) >= 1
+        assert set(snap["files"]) <= all_files
+        schema_hashes.add(snap["schema_hash"])
+        total += e["events_read"]
+    assert len(schema_hashes) == 1  # stable source schema identity
+    assert total == 2000  # row-count reconciliation with the log
+
+    # LSN-bound pruning: with 4 LSN-ordered tranches and 4 slices, no
+    # batch should claim the whole directory fed it
+    n_per_batch = sorted(len(e["source_snapshot"]["files"]) for e in entries)
+    assert n_per_batch[0] < len(all_files)
+
+
 def test_read_changes_missing_parent_reports_broken_chain(spark, workdir):
     """A CoW commit whose parent manifest is gone (expired past
     retention) must raise the clear broken-chain error on the change

@@ -1,0 +1,195 @@
+"""Sketch parameterization (round-3): SimHash width/band config and the
+OR-constructed multi-band embedding LSH.
+
+- the pigeonhole band math must be exact at BOTH the gated 16-bit width
+  and the 64-bit corpus-scale width (4x16 bands): banded equi-join +
+  hamming post-filter == naive all-pairs hamming filter;
+- the multi-band SRP LSH must beat its own single-band construction on
+  recall against the exhaustive brute-force twin, and recover planted
+  true near-dups with high recall.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gene_etl_spark.queries.common import simhash_band_ranges
+from gene_etl_spark.queries.textops import (
+    EMB_BLOCKS,
+    q_embedding_lsh_pairs,
+    q_embedding_topk_pairs,
+    simhash_pigeonhole_pairs,
+    simhash_signatures,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_band_ranges_cover_and_balance():
+    for bits, n_bands in [(16, 3), (64, 3), (64, 4), (64, 5), (32, 4)]:
+        ranges = simhash_band_ranges(bits, n_bands)
+        assert len(ranges) == n_bands
+        # contiguous cover of [0, bits)
+        pos = 0
+        for start, width in ranges:
+            assert start == pos
+            pos += width
+        assert pos == bits
+        widths = [w for _, w in ranges]
+        assert max(widths) - min(widths) <= 1
+    assert simhash_band_ranges(64, 4) == [(0, 16), (16, 16), (32, 16), (48, 16)]
+
+
+def _naive_pairs(ids, sigs, max_hamming):
+    out = set()
+    n = len(ids)
+    for i in range(n):
+        for j in range(i + 1, n):
+            h = bin((sigs[i] ^ sigs[j]) & 0xFFFFFFFFFFFFFFFF).count("1")
+            if h <= max_hamming:
+                a, b = sorted((ids[i], ids[j]))
+                out.add((a, b, h))
+    return out
+
+
+@pytest.mark.parametrize(
+    "bits,max_hamming",
+    [(16, 2), (64, 3)],
+    ids=["16bit-radius2", "64bit-4x16-radius3"],
+)
+def test_pigeonhole_band_join_matches_naive(spark, bits, max_hamming):
+    """Synthetic signatures with planted near pairs: the banded
+    equi-join must return EXACTLY the naive all-pairs hamming filter at
+    both the gated width and the 64-bit corpus width (incl. bit 63 —
+    negative longs)."""
+    rng = np.random.default_rng(20260816)
+    mask = (1 << bits) - 1
+    base = [int(x) & mask for x in rng.integers(0, 2**63, size=120, dtype=np.int64)]
+    if bits == 64:
+        base = [b | (1 << 63) if i % 3 == 0 else b for i, b in enumerate(base)]
+    sigs = list(base)
+    for i in range(40):  # plant near pairs at hamming 1..max_hamming
+        flipped = base[i]
+        for k in range(1 + (i % max_hamming)):
+            flipped ^= 1 << int(rng.integers(0, bits))
+        sigs.append(flipped & mask)
+    ids = list(range(len(sigs)))
+    # store as signed 64-bit longs (bit 63 set -> negative), as the
+    # signature builder emits
+    signed = [s - (1 << 64) if s >= (1 << 63) else s for s in sigs]
+    df = spark.createDataFrame(
+        list(zip(ids, signed)), "doc_id long, simhash long"
+    )
+    ranges = simhash_band_ranges(bits, max_hamming + 1)
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_pigeonhole_pairs(
+            df, ranges, max_hamming, persist=False
+        ).collect()
+    }
+    expected = _naive_pairs(ids, sigs, max_hamming)
+    assert got == expected
+    assert len(expected) >= 40  # the planted pairs actually exercised it
+
+
+def test_simhash_64bit_signatures_end_to_end(spark):
+    """The 64-bit signature builder (xxhash64 + shiftleft/OR packing)
+    produces full-width signatures over real documents, and the
+    pigeonhole search over them matches the naive filter."""
+    sigs = simhash_signatures(spark, "/root/testdata/sf0.001", bits=64).collect()
+    vals = [r.simhash for r in sigs]
+    ids = [r.doc_id for r in sigs]
+    assert any(v < 0 for v in vals)  # bit 63 is in play
+    assert len(set(vals)) > 0.98 * len(vals)  # 64 bits stay discriminative
+    df = spark.createDataFrame(
+        list(zip(ids, vals)), "doc_id long, simhash long"
+    )
+    ranges = simhash_band_ranges(64, 4)
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_pigeonhole_pairs(df, ranges, 3, persist=False).collect()
+    }
+    unsigned = [v & 0xFFFFFFFFFFFFFFFF for v in vals]
+    assert got == _naive_pairs(ids, unsigned, 3)
+
+
+def test_embedding_lsh_or_bands_beat_single_band(spark):
+    """OR-construction recall: against the exhaustive brute-force top-k
+    twin, the union of 3 bands must recall strictly more than its own
+    band 0 alone. (Absolute recall is corpus-limited here: the synthetic
+    embeddings' top-50 'near' pairs sit at cosine ~0.35-0.5, where SRP
+    sign-agreement p = 1 - theta/pi is only ~0.6; at real near-dup
+    cosine >= 0.9, p ~ 0.93 and the same 3x8 construction recalls
+    ~90%+ — verified on planted twins below.)"""
+    from gene_etl_spark.queries.textops import embedding_srp_buckets
+
+    brute = {(r.vec_a, r.vec_b) for r in q_embedding_topk_pairs(spark, SF_DIR).collect()}
+    lsh = {(r.vec_a, r.vec_b) for r in q_embedding_lsh_pairs(spark, SF_DIR).collect()}
+    sig = embedding_srp_buckets(spark, SF_DIR)
+    b0 = {r.vec_id: r.bucket for r in sig.where(F.col("band") == 0).collect()}
+    multi = len(brute & lsh) / len(brute)
+    single = sum(1 for (a, b) in brute if b0[a] == b0[b]) / len(brute)
+    assert multi > single
+    assert multi >= 0.10  # measured 0.14; single band measured 0.04
+
+
+def test_embedding_lsh_recall_on_planted_near_dups(spark, workdir):
+    """Plant true near-dups (cosine ~0.995 perturbed twins) in a random
+    corpus: the candidate generation (union of band collisions) must
+    recall nearly all of them — the property that matters for near-dup
+    REMOVAL at corpus scale."""
+    from gene_etl_spark.queries.common import EMB_DIM
+    from gene_etl_spark.queries.textops import embedding_srp_buckets
+
+    rng = np.random.default_rng(7)
+    n_base, n_twins = 200, 50
+    base = rng.normal(size=(n_base, EMB_DIM))
+    twins = base[:n_twins] + 0.05 * rng.normal(size=(n_twins, EMB_DIM))
+    vecs = np.vstack([base, twins]).astype(np.float32)
+    rows = [
+        (i, int(i % 7), [float(x) for x in vecs[i]]) for i in range(len(vecs))
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    df.write.mode("overwrite").parquet(f"{workdir}/embeddings.parquet")
+
+    sig = embedding_srp_buckets(spark, workdir)
+    collided = {
+        (r.vec_a, r.vec_b)
+        for r in sig.alias("a")
+        .join(sig.alias("b"), ["band", "bucket"])
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+        .collect()
+    }
+    planted = {(i, n_base + i) for i in range(n_twins)}
+    recall = len(planted & collided) / len(planted)
+    assert recall >= 0.85
+
+
+def test_embedding_topk_block_decomposition_is_exhaustive(spark):
+    """Every unordered pair lands in exactly one block pair: the
+    block-decomposed brute force must equal the naive top-k computed
+    driver-side."""
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").toPandas()
+    ids = df["vec_id"].to_numpy()
+    m = np.array(df["embedding"].tolist(), dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    c = m @ m.T
+    naive = []
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j]:
+                naive.append((round(float(c[i, j]), 5), int(ids[i]), int(ids[j])))
+    naive.sort(key=lambda t: (-t[0], t[1], t[2]))
+    expected = [(a, b, cos) for cos, a, b in naive[:50]]
+    got = [
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in q_embedding_topk_pairs(spark, SF_DIR).collect()
+    ]
+    assert got == expected
+    assert EMB_BLOCKS >= 2  # the decomposition is actually exercised
