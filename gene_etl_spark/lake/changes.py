@@ -25,18 +25,22 @@ CHANGE_OP_COL = "_change_op"
 VERSION_COL = "_commit_version"
 
 
-def _mor_commit_changes(table: LakeTable, m: dict, parent: dict) -> DataFrame | None:
+def _mor_commit_changes(
+    table: LakeTable, m: dict, parent: dict, include_preimages: bool = False
+) -> DataFrame | None:
     """Delta files ADDED by this commit (diff vs parent) are the change
-    rows verbatim: payload + LSN + op."""
-    prev = {
-        f for fs in (parent.get("deltas", {}) or {}).values() for f in fs
+    rows verbatim: payload + LSN + op. With ``include_preimages``, each
+    changed key that existed in the parent snapshot also emits its
+    parent-state row as ``UP`` (update/delete preimage) — computed by a
+    bucket-pruned read of the parent restricted to the delta's keys, so
+    preimage cost ∝ the commit's footprint, never the table."""
+    prev_deltas = parent.get("deltas", {}) or {}
+    prev = {f for fs in prev_deltas.values() for f in fs}
+    added_by_bucket = {
+        b: [f for f in fs if f not in prev]
+        for b, fs in (m.get("deltas", {}) or {}).items()
     }
-    added = [
-        f
-        for fs in (m.get("deltas", {}) or {}).values()
-        for f in fs
-        if f not in prev
-    ]
+    added = [f for fs in added_by_bucket.values() for f in fs]
     if not added:
         return None
     import os
@@ -46,19 +50,46 @@ def _mor_commit_changes(table: LakeTable, m: dict, parent: dict) -> DataFrame | 
         list(phys.fields) + [T.StructField(OP_COL, T.StringType(), True)]
     )
     df = table._scan([os.path.join(table.path, f) for f in added], delta_schema)
-    return df.select(
+    out = df.select(
         *[F.col(f.name) for f in phys.fields],
         F.when(F.col(OP_COL) == "D", F.lit("D")).otherwise(F.lit("U")).alias(
             CHANGE_OP_COL
         ),
     )
+    if include_preimages:
+        keys = list(m["key_cols"])
+        touched = sorted(
+            (int(b) for b, fs in added_by_bucket.items() if fs)
+        )
+        old = table.read(buckets=touched, include_meta=True, manifest=parent)
+        for f in phys.fields:  # parent may predate additive columns
+            if f.name not in old.columns:
+                old = old.withColumn(f.name, F.lit(None).cast(f.dataType))
+        pre = (
+            old.join(F.broadcast(df.select(*keys).distinct()), keys, "leftsemi")
+            .select(
+                *[F.col(f.name) for f in phys.fields],
+                F.lit("UP").alias(CHANGE_OP_COL),
+            )
+        )
+        out = out.unionByName(pre)
+    return out
 
 
-def _cow_commit_changes(table: LakeTable, m: dict, parent: dict) -> DataFrame | None:
+def _cow_commit_changes(
+    table: LakeTable, m: dict, parent: dict, include_preimages: bool = False
+) -> DataFrame | None:
     """Diff the touched buckets between this commit and its parent:
     a key whose ``_lsn`` changed (or appeared) is an upsert; a key that
     vanished is a delete. Scans only the touched buckets of BOTH
-    snapshots — cost ∝ the commit's write footprint, not the table."""
+    snapshots — cost ∝ the commit's write footprint, not the table.
+    With ``include_preimages``, every changed key that existed in the
+    parent (updated OR deleted) additionally emits its parent-state row
+    as ``UP`` (the old side of the same diff join — no extra scan).
+    CoW delete rows also carry the old payload themselves, but the UP
+    row is emitted anyway so the preimage contract is identical across
+    CoW and MoR (a MoR tombstone's payload is whatever the writer sent,
+    not the old state)."""
     touched = m.get("summary", {}).get("touched_buckets") or []
     if not touched:
         return None
@@ -87,17 +118,33 @@ def _cow_commit_changes(table: LakeTable, m: dict, parent: dict) -> DataFrame | 
         *[F.col(f"__o_{f.name}").alias(f.name) for f in phys.fields],
         F.lit("D").alias(CHANGE_OP_COL),
     )
-    return upserts.unionByName(deletes)
+    out = upserts.unionByName(deletes)
+    if include_preimages:
+        pre = joined.where(o_exists & (~n_exists | changed)).select(
+            *[F.col(f"__o_{f.name}").alias(f.name) for f in phys.fields],
+            F.lit("UP").alias(CHANGE_OP_COL),
+        )
+        out = out.unionByName(pre)
+    return out
 
 
 def read_changes(
-    table: LakeTable, from_version: int, to_version: int | None = None
+    table: LakeTable,
+    from_version: int,
+    to_version: int | None = None,
+    include_preimages: bool = False,
 ) -> DataFrame:
     """Change rows committed by snapshots in ``(from_version,
     to_version]`` (defaults to the current version), with
-    ``_change_op`` (U/D) and ``_commit_version`` columns. Order within
-    the frame is unspecified; consumers needing replay order sort by
-    (``_commit_version``, ``_lsn``) — both are carried."""
+    ``_change_op`` and ``_commit_version`` columns. Ops: ``U`` (upsert
+    postimage), ``D`` (delete, carrying the old payload on the CoW
+    path), and — when ``include_preimages`` — ``UP`` (the pre-change
+    row of every key that existed before this commit; the Delta CDF
+    update_preimage analogue). Preimages let consumers handle
+    group-moving updates (e.g. incremental aggregate maintenance needs
+    the OLD group dirty too). Order within the frame is unspecified;
+    consumers needing replay order sort by (``_commit_version``,
+    ``_lsn``) — both are carried."""
     hi = table.version if to_version is None else to_version
     by_version = {m["version"]: m for m in table.history()}
     out: DataFrame | None = None
@@ -126,9 +173,9 @@ def read_changes(
                 )
             parent = {"deltas": {}, "files": {}}
         if op == "merge-mor":
-            part = _mor_commit_changes(table, m, parent)
+            part = _mor_commit_changes(table, m, parent, include_preimages)
         elif op == "merge":
-            part = _cow_commit_changes(table, m, parent)
+            part = _cow_commit_changes(table, m, parent, include_preimages)
         else:  # create / compact / expiry: no logical row changes
             part = None
         if part is None:

@@ -1,0 +1,148 @@
+"""Continuous rollup: an incrementally maintained aggregate table over
+a LakeTable, driven by the change feed.
+
+The Spark-first analogue of a hypertable continuous aggregate /
+materialized view with incremental refresh: the rollup is ITSELF a
+LakeTable keyed by the group columns, and each ``refresh()``
+
+1. reads the base table's change rows since the last refreshed
+   snapshot version (``read_changes`` with UP preimages, so an update
+   that MOVES a row between groups dirties both the old and the new
+   group);
+2. derives the DIRTY GROUP set (distinct group tuples across
+   pre/post/delete rows) — cost ∝ the change volume, never the table;
+3. recomputes exactly those groups from the current base state
+   (broadcast semijoin prune) and MERGEs them into the rollup table —
+   groups that became empty get tombstones;
+4. fences itself through the same machinery as the CDC ingest: the
+   rollup commit's ``(start_lsn, end_lsn]`` range is the BASE VERSION
+   range it covered, and ``batch_id = rollup-v{a}-v{b}``, so a crashed
+   or replayed refresh is skipped and ``last_refreshed_version()`` is
+   recovered from the rollup's own snapshot chain (no side state).
+
+At 100 TB this is the shape that works: refresh cost is proportional
+to what changed (change feed + dirty-group recompute over a pruned
+scan), the rollup writes go through the bucketed MERGE like any other
+table, and a full rebuild is just ``refresh()`` from version 0.
+
+Reference contact: the reference maintains per-cohort summary views
+recomputed wholesale (models.py:268-283); the incremental form is the
+scale path this engine adds.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gene_etl_spark.lake.changes import CHANGE_OP_COL, read_changes
+from gene_etl_spark.lake.table import LakeTable
+
+
+class ContinuousRollup:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        base: LakeTable,
+        group_cols: list[str],
+        agg_exprs: list[Column],
+        num_buckets: int = 16,
+    ):
+        """``agg_exprs`` are aliased aggregate Columns applied as
+        ``base.groupBy(group_cols).agg(*agg_exprs)``; the rollup table's
+        schema is derived from that plan once at creation."""
+        self.spark = spark
+        self.path = path
+        self.base = base
+        self.group_cols = list(group_cols)
+        self.agg_exprs = list(agg_exprs)
+        if LakeTable.exists(path):
+            self.table = LakeTable.load(spark, path)
+        else:
+            schema = (
+                base.read()
+                .groupBy(*self.group_cols)
+                .agg(*self.agg_exprs)
+                .schema
+            )
+            self.table = LakeTable.create(
+                spark, path, schema, key_cols=self.group_cols, num_buckets=num_buckets
+            )
+
+    # ------------------------------------------------------------------ #
+    def last_refreshed_version(self) -> int:
+        """Highest base snapshot version folded into the rollup,
+        recovered from the rollup's own snapshot chain (end_lsn of its
+        commits IS the base version — no side checkpoint to lose)."""
+        v = self.table.max_committed_end_lsn()
+        return int(v) if v is not None else 0
+
+    def read(self) -> DataFrame:
+        return self.table.read()
+
+    # ------------------------------------------------------------------ #
+    def refresh(self) -> dict:
+        """Fold all base commits since the last refresh into the rollup.
+        Returns a summary; a no-op when the base hasn't moved."""
+        last = self.last_refreshed_version()
+        cur = self.base.version
+        if cur <= last:
+            return {"refreshed": False, "from_version": last, "to_version": last}
+        batch_id = f"rollup-v{last}-v{cur}"
+        if batch_id in self.table.committed_batches():
+            return {"refreshed": False, "from_version": last, "to_version": cur}
+
+        changes = read_changes(self.base, last, cur, include_preimages=True)
+        dirty = changes.select(*self.group_cols).distinct()
+        state = self.base.read()
+        fresh = (
+            state.join(F.broadcast(dirty), self.group_cols, "leftsemi")
+            .groupBy(*self.group_cols)
+            .agg(*self.agg_exprs)
+        )
+        # groups whose last member vanished need tombstones
+        gone = dirty.join(
+            fresh.select(*self.group_cols), self.group_cols, "leftanti"
+        )
+        # tombstone template mirrors the aggregate plan's own columns —
+        # NOT the table schema, which also carries the evolved constant
+        # ts guard column (the merge null-fills any column a slice lacks)
+        agg_fields = [
+            f for f in fresh.schema.fields if f.name not in self.group_cols
+        ]
+        upserts = fresh.select(
+            "*",
+            F.lit("U").alias("op"),
+        )
+        deletes = gone.select(
+            *self.group_cols,
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in agg_fields],
+            F.lit("D").alias("op"),
+        )
+        updates = (
+            upserts.unionByName(deletes)
+            # lsn-space of the rollup = base snapshot versions: monotone,
+            # so the merge's (lsn, ts) guard gives cross-refresh LWW for
+            # free; the constant ts never decides (lsn already differs)
+            .withColumn("lsn", F.lit(int(cur)).cast("long"))
+            .withColumn(
+                "ts",
+                F.lit(_dt.datetime(2020, 1, 1)).cast("timestamp"),
+            )
+        )
+        result = self.table.merge(
+            updates,
+            batch_id=batch_id,
+            start_lsn=last,
+            end_lsn=cur,
+        )
+        return {
+            "refreshed": True,
+            "from_version": last,
+            "to_version": cur,
+            "dirty_groups": result.inserts + result.updates + result.deletes + result.noops,
+            "snapshot_version": result.snapshot_version,
+        }

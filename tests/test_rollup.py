@@ -1,0 +1,228 @@
+"""Continuous rollup (incrementally maintained aggregate over the
+change feed) + CDF update preimages.
+
+The consumer contract under test: after any sequence of base commits,
+``refresh()`` makes the rollup equal a full groupBy recompute of the
+base state — including updates that MOVE rows between groups (needs
+preimages) and deletes that empty a group (needs tombstones) — at
+cost ∝ the change volume, and replayed refreshes are fenced no-ops.
+"""
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gene_etl_spark.lake.changes import CHANGE_OP_COL, read_changes
+from gene_etl_spark.lake.rollup import ContinuousRollup
+from gene_etl_spark.lake.table import LakeTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("grp", T.StringType()),
+        T.StructField("val", T.DoubleType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def _upd(spark, rows):
+    return spark.createDataFrame(
+        [
+            (lsn, op, conv, turn, grp, float(val), dt.datetime(2024, 1, 1, 0, 0, lsn % 60))
+            for (lsn, op, conv, turn, grp, val) in rows
+        ],
+        "lsn long, op string, conv_id string, turn_idx int, grp string,"
+        " val double, ts timestamp",
+    )
+
+
+def _rollup_state(rollup):
+    return {
+        r.grp: (r.n_rows, round(r.sum_val, 6))
+        for r in rollup.read().select("grp", "n_rows", "sum_val").collect()
+    }
+
+
+def _recomputed(table):
+    return {
+        r.grp: (r.n_rows, round(r.sum_val, 6))
+        for r in table.read()
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("val").alias("sum_val"),
+        )
+        .collect()
+    }
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_rollup_tracks_base_through_moves_and_deletes(spark, workdir, mode):
+    t = LakeTable.create(
+        spark, f"{workdir}/lake_{mode}", SCHEMA, ["conv_id", "turn_idx"], 8
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("val").alias("sum_val"),
+    ]
+    roll = ContinuousRollup(
+        spark, f"{workdir}/rollup_{mode}", t, ["grp"], aggs, num_buckets=4
+    )
+
+    # batch 1: three groups
+    t.merge(
+        _upd(
+            spark,
+            [
+                (1, "I", "c0", 0, "a", 1.0),
+                (2, "I", "c0", 1, "a", 2.0),
+                (3, "I", "c1", 0, "b", 10.0),
+                (4, "I", "c2", 0, "c", 5.0),
+            ],
+        ),
+        batch_id="b1",
+        mode=mode,
+    )
+    s = roll.refresh()
+    assert s["refreshed"]
+    assert _rollup_state(roll) == _recomputed(t) == {
+        "a": (2, 3.0),
+        "b": (1, 10.0),
+        "c": (1, 5.0),
+    }
+
+    # batch 2: move (c0,1) from group a -> b (old group must shrink:
+    # only the UP preimage can dirty group a), delete the sole c row
+    # (group c must get a tombstone), and update a value in place
+    t.merge(
+        _upd(
+            spark,
+            [
+                (5, "U", "c0", 1, "b", 2.5),
+                (6, "D", "c2", 0, "c", 0.0),
+                (7, "U", "c1", 0, "b", 11.0),
+            ],
+        ),
+        batch_id="b2",
+        mode=mode,
+    )
+    s = roll.refresh()
+    assert s["refreshed"]
+    expect = {"a": (1, 1.0), "b": (2, 13.5)}
+    assert _recomputed(t) == expect
+    assert _rollup_state(roll) == expect  # group c gone, group a shrunk
+
+    # idempotence: base unchanged -> fenced no-op, state stable
+    s = roll.refresh()
+    assert not s["refreshed"]
+    assert _rollup_state(roll) == expect
+
+    # a reopened rollup recovers its watermark from its snapshot chain
+    roll2 = ContinuousRollup(
+        spark, f"{workdir}/rollup_{mode}", t, ["grp"], aggs, num_buckets=4
+    )
+    assert roll2.last_refreshed_version() == t.version
+    assert not roll2.refresh()["refreshed"]
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_cdf_preimages_carry_old_rows(spark, workdir, mode):
+    t = LakeTable.create(
+        spark, f"{workdir}/lake_{mode}", SCHEMA, ["conv_id", "turn_idx"], 8
+    )
+    t.merge(
+        _upd(spark, [(1, "I", "c0", 0, "a", 1.0), (2, "I", "c1", 0, "b", 2.0)]),
+        batch_id="b1",
+        mode=mode,
+    )
+    v1 = t.version
+    t.merge(
+        _upd(spark, [(3, "U", "c0", 0, "z", 9.0), (4, "D", "c1", 0, "b", 0.0)]),
+        batch_id="b2",
+        mode=mode,
+    )
+
+    rows = read_changes(t, v1, include_preimages=True).collect()
+    by_op = {}
+    for r in rows:
+        by_op.setdefault(r[CHANGE_OP_COL], []).append(r)
+    # postimage of the update
+    assert [(r.conv_id, r.grp, r.val) for r in by_op["U"]] == [("c0", "z", 9.0)]
+    # preimages: the OLD row of every key that existed before (the
+    # updated c0 AND the deleted c1 — both had parent state)
+    pre = sorted((r.conv_id, r.grp, r.val) for r in by_op["UP"])
+    assert pre == [("c0", "a", 1.0), ("c1", "b", 2.0)]
+    # the default feed (no preimages) is unchanged: no UP rows
+    assert not [
+        r
+        for r in read_changes(t, v1).collect()
+        if r[CHANGE_OP_COL] == "UP"
+    ]
+
+
+def test_rollup_e2e_matches_duckdb_oracle(spark, workdir):
+    """Drive the real CDC engine slice by slice, refreshing the rollup
+    after every batch; the final rollup must equal a DuckDB full
+    recompute over the raw change log."""
+    import duckdb
+
+    from gene_etl_spark.config import IngestConfig
+    from gene_etl_spark.runner import CdcIngestRunner
+    from gene_etl_spark.sources.simulate import generate_change_stream
+
+    generate_change_stream(
+        os.path.join(workdir, "events"),
+        n_convs=25,
+        max_turns=10,
+        n_events=2000,
+        seed=21,
+        n_tranches=3,
+        evolve_at_frac=0.0,
+    )
+    cfg = IngestConfig(
+        lake_path=os.path.join(workdir, "lake"),
+        events_path=os.path.join(workdir, "events"),
+        ledger_path=os.path.join(workdir, "ledger"),
+        metrics_path=os.path.join(workdir, "metrics"),
+        validation_path=os.path.join(workdir, "validation"),
+        num_buckets=8,
+        slice_lsn_width=500,
+    )
+    runner = CdcIngestRunner(spark, cfg)
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+    ]
+    roll = ContinuousRollup(
+        spark, os.path.join(workdir, "rollup"), runner.table, ["role"], aggs,
+        num_buckets=4,
+    )
+    plan = runner.source.plan_batches(0, cfg.slice_lsn_width)
+    for lo, hi in plan:
+        runner.apply_batch(lo, hi)
+        roll.refresh()  # incremental: folds exactly this batch's groups
+
+    got = {
+        r.role: (r.n_turns, r.total_chars)
+        for r in roll.read().select("role", "n_turns", "total_chars").collect()
+    }
+    exp = {
+        r[0]: (r[1], r[2])
+        for r in duckdb.sql(
+            f"""
+            with e as (select * from read_parquet(
+                '{cfg.events_path}/*.parquet', union_by_name=true)),
+            r as (select *, row_number() over (partition by conv_id, turn_idx
+                                               order by lsn desc, ts desc) rn
+                  from e)
+            select role, count(*)::BIGINT, sum(length(text))::BIGINT
+            from r where rn = 1 and op <> 'D' group by 1
+            """
+        ).fetchall()
+    }
+    assert got == exp
