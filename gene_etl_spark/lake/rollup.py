@@ -86,7 +86,12 @@ class ContinuousRollup:
     # ------------------------------------------------------------------ #
     def refresh(self) -> dict:
         """Fold all base commits since the last refresh into the rollup.
-        Returns a summary; a no-op when the base hasn't moved."""
+        Returns a summary; a no-op when the base hasn't moved. If the
+        change feed is broken — the last refreshed snapshot expired past
+        the base's retention window (the clear ``read_changes`` error) —
+        falls back to a FULL rebuild: every current group recomputed,
+        plus tombstones for rollup groups that no longer exist; same
+        fencing, one commit, correct from any staleness."""
         last = self.last_refreshed_version()
         cur = self.base.version
         if cur <= last:
@@ -95,9 +100,21 @@ class ContinuousRollup:
         if batch_id in self.table.committed_batches():
             return {"refreshed": False, "from_version": last, "to_version": cur}
 
-        changes = read_changes(self.base, last, cur, include_preimages=True)
-        dirty = changes.select(*self.group_cols).distinct()
         state = self.base.read()
+        try:
+            changes = read_changes(self.base, last, cur, include_preimages=True)
+            dirty = changes.select(*self.group_cols).distinct()
+            full_rebuild = False
+        except ValueError:
+            # broken manifest chain (snapshots expired past retention):
+            # re-baseline — dirty set = current groups ∪ rollup groups
+            dirty = (
+                state.select(*self.group_cols)
+                .distinct()
+                .unionByName(self.table.read().select(*self.group_cols))
+                .distinct()
+            )
+            full_rebuild = True
         fresh = (
             state.join(F.broadcast(dirty), self.group_cols, "leftsemi")
             .groupBy(*self.group_cols)
@@ -141,6 +158,7 @@ class ContinuousRollup:
         )
         return {
             "refreshed": True,
+            "full_rebuild": full_rebuild,
             "from_version": last,
             "to_version": cur,
             "dirty_groups": result.inserts + result.updates + result.deletes + result.noops,

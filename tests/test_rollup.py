@@ -165,6 +165,100 @@ def test_cdf_preimages_carry_old_rows(spark, workdir, mode):
     ]
 
 
+def test_rollup_full_rebuild_on_broken_chain(spark, workdir):
+    """When the change feed can't cover (last, cur] — snapshots expired
+    past retention — refresh() re-baselines with a full rebuild: every
+    current group recomputed AND stale rollup groups tombstoned."""
+    t = LakeTable.create(spark, f"{workdir}/lake", SCHEMA, ["conv_id", "turn_idx"], 8)
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("val").alias("sum_val"),
+    ]
+    roll = ContinuousRollup(spark, f"{workdir}/rollup", t, ["grp"], aggs, num_buckets=4)
+
+    t.merge(
+        _upd(spark, [(1, "I", "c0", 0, "x", 1.0), (2, "I", "c1", 0, "y", 2.0)]),
+        batch_id="b1",
+    )
+    roll.refresh()
+    assert _rollup_state(roll) == {"x": (1, 1.0), "y": (1, 2.0)}
+
+    # two more commits; the middle manifest then disappears (expiry)
+    t.merge(_upd(spark, [(3, "D", "c0", 0, "x", 0.0)]), batch_id="b2")
+    t.merge(_upd(spark, [(4, "I", "c2", 0, "z", 7.0)]), batch_id="b3")
+    os.remove(os.path.join(t.path, "_manifests", "v2.json"))
+    t2 = LakeTable.load(spark, t.path)
+    roll2 = ContinuousRollup(spark, f"{workdir}/rollup", t2, ["grp"], aggs, num_buckets=4)
+
+    s = roll2.refresh()
+    assert s["refreshed"] and s["full_rebuild"]
+    # group x vanished while the feed was broken -> tombstoned; z appears
+    assert _rollup_state(roll2) == _recomputed(t2) == {"y": (1, 2.0), "z": (1, 7.0)}
+
+
+def test_rollup_randomized_batches_track_recompute(spark, workdir):
+    """Seeded random op soup (inserts/updates/moves/deletes across
+    batches) — after every refresh the rollup equals a full groupBy
+    recompute. The LWW/merge machinery is property-tested elsewhere;
+    this pins the incremental dirty-group algebra."""
+    import random
+
+    rng = random.Random(20260816)
+    t = LakeTable.create(spark, f"{workdir}/lake", SCHEMA, ["conv_id", "turn_idx"], 8)
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("val").alias("sum_val"),
+    ]
+    roll = ContinuousRollup(spark, f"{workdir}/rollup", t, ["grp"], aggs, num_buckets=4)
+    groups = ["g0", "g1", "g2", "g3"]
+    live: set[tuple[str, int]] = set()
+    lsn = 0
+    for batch in range(4):
+        rows = []
+        for _ in range(30):
+            lsn += 1
+            key = (f"c{rng.randrange(12)}", rng.randrange(3))
+            if key in live and rng.random() < 0.25:
+                rows.append((lsn, "D", key[0], key[1], rng.choice(groups), 0.0))
+                live.discard(key)
+            else:
+                rows.append(
+                    (lsn, "U", key[0], key[1], rng.choice(groups), rng.randrange(100))
+                )
+                live.add(key)
+        t.merge(_upd(spark, rows), batch_id=f"rb{batch}", mode=rng.choice(["cow", "mor"]))
+        roll.refresh()
+        assert _rollup_state(roll) == _recomputed(t), f"diverged at batch {batch}"
+
+
+def test_rollup_survives_base_and_own_compaction(spark, workdir):
+    """The rollup is an ordinary LakeTable: compacting either the MoR
+    base or the rollup itself must not disturb state or later
+    refreshes (compaction commits emit no change rows)."""
+    from gene_etl_spark.lake.maintenance import compact
+
+    t = LakeTable.create(spark, f"{workdir}/lake", SCHEMA, ["conv_id", "turn_idx"], 8)
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("val").alias("sum_val"),
+    ]
+    roll = ContinuousRollup(spark, f"{workdir}/rollup", t, ["grp"], aggs, num_buckets=4)
+    t.merge(
+        _upd(spark, [(1, "I", "c0", 0, "a", 1.0), (2, "I", "c1", 0, "b", 2.0)]),
+        batch_id="b1",
+        mode="mor",
+    )
+    roll.refresh()
+    compact(t, max_files_per_bucket=1)  # folds MoR deltas; no logical change
+    s = roll.refresh()
+    # compaction produced a new base snapshot but zero change rows: the
+    # refresh commits an empty dirty set (or no-ops) without disturbance
+    assert _rollup_state(roll) == _recomputed(t) == {"a": (1, 1.0), "b": (1, 2.0)}
+    t.merge(_upd(spark, [(3, "U", "c0", 0, "b", 4.0)]), batch_id="b2", mode="mor")
+    roll.refresh()
+    assert _rollup_state(roll) == _recomputed(t) == {"b": (2, 6.0)}
+
+
 def test_rollup_e2e_matches_duckdb_oracle(spark, workdir):
     """Drive the real CDC engine slice by slice, refreshing the rollup
     after every batch; the final rollup must equal a DuckDB full
