@@ -50,20 +50,29 @@ class ContinuousRollup:
         group_cols: list[str],
         agg_exprs: list[Column],
         num_buckets: int = 16,
+        derived: dict[str, Column] | None = None,
     ):
         """``agg_exprs`` are aliased aggregate Columns applied as
         ``base.groupBy(group_cols).agg(*agg_exprs)``; the rollup table's
-        schema is derived from that plan once at creation."""
+        schema is derived from that plan once at creation.
+
+        ``derived`` maps group-column names to expressions computed from
+        the base payload — the hypertable time-bucket shape, e.g.
+        ``{"day": F.date_trunc("day", "ts")}`` with ``group_cols=["day",
+        "role"]``. Derived groups work on the change feed too: UP/D rows
+        carry full payload, so a row moving between time buckets dirties
+        both buckets."""
         self.spark = spark
         self.path = path
         self.base = base
         self.group_cols = list(group_cols)
         self.agg_exprs = list(agg_exprs)
+        self.derived = dict(derived or {})
         if LakeTable.exists(path):
             self.table = LakeTable.load(spark, path)
         else:
             schema = (
-                base.read()
+                self._with_derived(base.read())
                 .groupBy(*self.group_cols)
                 .agg(*self.agg_exprs)
                 .schema
@@ -71,6 +80,11 @@ class ContinuousRollup:
             self.table = LakeTable.create(
                 spark, path, schema, key_cols=self.group_cols, num_buckets=num_buckets
             )
+
+    def _with_derived(self, df: DataFrame) -> DataFrame:
+        for name, expr in self.derived.items():
+            df = df.withColumn(name, expr)
+        return df
 
     # ------------------------------------------------------------------ #
     def last_refreshed_version(self) -> int:
@@ -100,9 +114,11 @@ class ContinuousRollup:
         if batch_id in self.table.committed_batches():
             return {"refreshed": False, "from_version": last, "to_version": cur}
 
-        state = self.base.read()
+        state = self._with_derived(self.base.read())
         try:
-            changes = read_changes(self.base, last, cur, include_preimages=True)
+            changes = self._with_derived(
+                read_changes(self.base, last, cur, include_preimages=True)
+            )
             dirty = changes.select(*self.group_cols).distinct()
             full_rebuild = False
         except ValueError:

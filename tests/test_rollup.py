@@ -259,6 +259,48 @@ def test_rollup_survives_base_and_own_compaction(spark, workdir):
     assert _rollup_state(roll) == _recomputed(t) == {"b": (2, 6.0)}
 
 
+def test_time_bucket_rollup_with_derived_group(spark, workdir):
+    """Hypertable shape: group by a DERIVED time bucket
+    (date_trunc(day, ts)) — an update that moves a row to another day
+    must shrink the old day's bucket (preimage-driven) and grow the
+    new one."""
+
+    def upd(rows):
+        return spark.createDataFrame(
+            [
+                (lsn, op, conv, turn, "g", float(val), ts)
+                for (lsn, op, conv, turn, val, ts) in rows
+            ],
+            "lsn long, op string, conv_id string, turn_idx int, grp string,"
+            " val double, ts timestamp",
+        )
+
+    d1, d2 = dt.datetime(2024, 1, 1, 9), dt.datetime(2024, 1, 2, 9)
+    t = LakeTable.create(spark, f"{workdir}/lake", SCHEMA, ["conv_id", "turn_idx"], 8)
+    roll = ContinuousRollup(
+        spark,
+        f"{workdir}/rollup",
+        t,
+        ["day"],
+        [F.count(F.lit(1)).cast("long").alias("n_rows")],
+        num_buckets=4,
+        derived={"day": F.date_trunc("day", "ts")},
+    )
+    t.merge(
+        upd([(1, "I", "c0", 0, 1.0, d1), (2, "I", "c1", 0, 2.0, d1), (3, "I", "c2", 0, 3.0, d2)]),
+        batch_id="b1",
+    )
+    roll.refresh()
+    state = {r.day.day: r.n_rows for r in roll.read().collect()}
+    assert state == {1: 2, 2: 1}
+
+    # move c0 from day 1 to day 2
+    t.merge(upd([(4, "U", "c0", 0, 1.0, d2)]), batch_id="b2")
+    roll.refresh()
+    state = {r.day.day: r.n_rows for r in roll.read().collect()}
+    assert state == {1: 1, 2: 2}
+
+
 def test_rollup_e2e_matches_duckdb_oracle(spark, workdir):
     """Drive the real CDC engine slice by slice, refreshing the rollup
     after every batch; the final rollup must equal a DuckDB full
