@@ -362,7 +362,10 @@ def _merge_mor(
     upd = upd.persist(StorageLevel.MEMORY_AND_DISK)
 
     # per-partition lineage counters on the delta itself (deduped input:
-    # one row per key, so rows == distinct keys by contract, asserted)
+    # one row per key, so rows == distinct keys by contract, asserted).
+    # The touched-bucket set rides the SAME aggregation (collect_set of
+    # <= num_buckets ints per partition) instead of a second
+    # distinct+collect job over the cached delta — one pass, one job.
     key0, key_rest = key_cols[0], key_cols[1:]
     counters = (
         upd.groupBy(F.spark_partition_id().alias("partition_id"))
@@ -373,12 +376,11 @@ def _merge_mor(
             F.countDistinct(F.col(key0), *[F.col(k) for k in key_rest]).alias(
                 "n_out_keys"
             ),
+            F.collect_set(F.col(BUCKET_COL)).alias("_buckets"),
         )
         .collect()
     )
-    touched = sorted(
-        r[0] for r in upd.select(BUCKET_COL).distinct().collect()
-    )
+    touched = sorted({b for r in counters for b in r["_buckets"]})
     timings["dedup_buckets_sec"] = round(time.time() - tp, 3)
 
     version = manifest["version"] + 1
@@ -413,6 +415,7 @@ def _merge_mor(
     res = MergeResult(snapshot_version=version, touched_buckets=touched)
     for row in counters:
         d = row.asDict()
+        d.pop("_buckets", None)  # plumbing for the fused bucket set
         d.setdefault("inserts", 0)
         d.setdefault("noops", 0)
         res.partition_counters.append(d)
