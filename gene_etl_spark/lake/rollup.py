@@ -20,10 +20,17 @@ LakeTable keyed by the group columns, and each ``refresh()``
    or replayed refresh is skipped and ``last_refreshed_version()`` is
    recovered from the rollup's own snapshot chain (no side state).
 
-At 100 TB this is the shape that works: refresh cost is proportional
-to what changed (change feed + dirty-group recompute over a pruned
-scan), the rollup writes go through the bucketed MERGE like any other
-table, and a full rebuild is just ``refresh()`` from version 0.
+Cost model at 100 TB, stated precisely: the change-feed read is ∝ the
+refreshed commits' write footprint (MoR deltas verbatim; CoW diffs over
+touched buckets); the recompute is ONE pass over the base with the
+semijoin filter applied at the scan — rows outside dirty groups are
+discarded before any shuffle — so the aggregation shuffle, the rollup
+MERGE, and the rewrite volume are all ∝ the dirty groups, not the
+rollup; the base scan itself prunes to the dirty buckets whenever the
+leading group column is the bucketing key (``_prune_buckets``), and
+otherwise remains full-width, as in any materialized-view refresh
+whose groups don't align with the physical layout. A full rebuild is
+just ``refresh()`` from version 0.
 
 Reference contact: the reference maintains per-cohort summary views
 recomputed wholesale (models.py:268-283); the incremental form is the
@@ -86,6 +93,23 @@ class ContinuousRollup:
             df = df.withColumn(name, expr)
         return df
 
+    def _prune_buckets(self, dirty: DataFrame) -> list[int] | None:
+        """When the leading group column IS the base's bucketing key,
+        every row of a dirty group lives in that group value's bucket —
+        so the recompute scan prunes to the dirty buckets (≤ num_buckets
+        ints collected, never the group values themselves). Groups that
+        don't align with the physical layout scan full-width, like any
+        materialized-view refresh."""
+        g0 = self.group_cols[0]
+        if g0 != self.base.key_cols[0] or g0 in self.derived:
+            return None
+        return sorted(
+            r[0]
+            for r in dirty.select(self.base.bucket_expr(g0).alias("b"))
+            .distinct()
+            .collect()
+        )
+
     # ------------------------------------------------------------------ #
     def last_refreshed_version(self) -> int:
         """Highest base snapshot version folded into the rollup,
@@ -114,7 +138,6 @@ class ContinuousRollup:
         if batch_id in self.table.committed_batches():
             return {"refreshed": False, "from_version": last, "to_version": cur}
 
-        state = self._with_derived(self.base.read())
         try:
             changes = self._with_derived(
                 read_changes(self.base, last, cur, include_preimages=True)
@@ -122,15 +145,20 @@ class ContinuousRollup:
             dirty = changes.select(*self.group_cols).distinct()
             full_rebuild = False
         except ValueError:
+            dirty = None
+            full_rebuild = True
+        if full_rebuild:
             # broken manifest chain (snapshots expired past retention):
             # re-baseline — dirty set = current groups ∪ rollup groups
+            state = self._with_derived(self.base.read())
             dirty = (
                 state.select(*self.group_cols)
                 .distinct()
                 .unionByName(self.table.read().select(*self.group_cols))
                 .distinct()
             )
-            full_rebuild = True
+        else:
+            state = self._with_derived(self.base.read(buckets=self._prune_buckets(dirty)))
         fresh = (
             state.join(F.broadcast(dirty), self.group_cols, "leftsemi")
             .groupBy(*self.group_cols)

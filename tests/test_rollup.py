@@ -259,6 +259,61 @@ def test_rollup_survives_base_and_own_compaction(spark, workdir):
     assert _rollup_state(roll) == _recomputed(t) == {"b": (2, 6.0)}
 
 
+def test_key_aligned_rollup_prunes_recompute_scan(spark, workdir):
+    """When the leading group column IS the bucketing key, the dirty-
+    group recompute scan prunes to the dirty groups' buckets — verified
+    via the pruned bucket list AND correctness of the refreshed state."""
+    t = LakeTable.create(spark, f"{workdir}/lake", SCHEMA, ["conv_id", "turn_idx"], 8)
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("val").alias("sum_val"),
+    ]
+    roll = ContinuousRollup(
+        spark, f"{workdir}/rollup", t, ["conv_id"], aggs, num_buckets=4
+    )
+    # seed many conversations, then touch exactly one
+    t.merge(
+        _upd(spark, [(i + 1, "I", f"c{i}", 0, "g", float(i)) for i in range(24)]),
+        batch_id="b1",
+    )
+    roll.refresh()
+    t.merge(_upd(spark, [(100, "U", "c3", 0, "g", 99.0)]), batch_id="b2")
+
+    from gene_etl_spark.lake.changes import read_changes
+
+    dirty = read_changes(t, roll.last_refreshed_version(), include_preimages=True).select(
+        "conv_id"
+    )
+    pruned = roll._prune_buckets(dirty.distinct())
+    all_buckets = sorted(int(b) for b in t.manifest["files"] if t.manifest["files"][b])
+    assert pruned is not None and len(pruned) < len(all_buckets)
+
+    roll.refresh()
+    assert _rollup_state_by(roll, "conv_id")["c3"] == (1, 99.0)
+    assert _rollup_state_by(roll, "conv_id") == {
+        r.conv_id: (r.n_rows, round(r.sum_val, 6))
+        for r in t.read()
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("val").alias("sum_val"),
+        )
+        .collect()
+    }
+    # a non-key-aligned rollup never prunes
+    roll_g = ContinuousRollup(
+        spark, f"{workdir}/rollup_g", t, ["grp"], aggs, num_buckets=4
+    )
+    assert roll_g._prune_buckets(t.read().select("grp").distinct()) is None
+
+
+def _rollup_state_by(rollup, key):
+    return {
+        r[key]: (r.n_rows, round(r.sum_val, 6))
+        for r in rollup.read().select(key, "n_rows", "sum_val").collect()
+    }
+
+
 def test_time_bucket_rollup_with_derived_group(spark, workdir):
     """Hypertable shape: group by a DERIVED time bucket
     (date_trunc(day, ts)) — an update that moves a row to another day
