@@ -417,3 +417,40 @@ def test_rollup_e2e_matches_duckdb_oracle(spark, workdir):
         ).fetchall()
     }
     assert got == exp
+
+
+def test_sql_view_surface(spark, workdir):
+    """The reference's read models are SQL views; here the lake, its
+    rollups, and the candidate pipelines register as temp views that
+    plain spark.sql can join and filter."""
+    from gene_etl_spark.views import register_lake_views, register_read_models
+
+    t = LakeTable.create(spark, f"{workdir}/wh/transcripts", SCHEMA,
+                         ["conv_id", "turn_idx"], 8)
+    t.merge(
+        _upd(spark, [(1, "I", "c0", 0, "a", 1.0), (2, "I", "c1", 0, "b", 2.0)]),
+        batch_id="b1",
+    )
+    roll = ContinuousRollup(
+        spark, f"{workdir}/wh/rollup_by_grp", t, ["grp"],
+        [F.count(F.lit(1)).cast("long").alias("n_rows"),
+         F.sum("val").alias("sum_val")], num_buckets=4,
+    )
+    roll.refresh()
+
+    names = register_lake_views(spark, f"{workdir}/wh")
+    assert names == ["transcripts", "rollup_by_grp"]
+    row = spark.sql(
+        """SELECT t.grp, r.n_rows, COUNT(*) AS n
+           FROM transcripts t JOIN rollup_by_grp r ON t.grp = r.grp
+           WHERE r.n_rows = 1 GROUP BY 1, 2 ORDER BY 1"""
+    ).collect()
+    assert [(x.grp, x.n_rows, x.n) for x in row] == [("a", 1, 1), ("b", 1, 1)]
+
+    views = register_read_models(spark, "/root/testdata/sf0.001")
+    top = spark.sql(
+        "SELECT candidate_rank, significance_category FROM vw_pairs_candidate_q "
+        "ORDER BY candidate_rank LIMIT 3"
+    ).collect()
+    assert [x.candidate_rank for x in top] == [1, 2, 3]
+    assert set(views) == {"vw_pairs_candidate", "vw_pairs_candidate_q"}
