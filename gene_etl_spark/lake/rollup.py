@@ -130,6 +130,13 @@ class ContinuousRollup:
         falls back to a FULL rebuild: every current group recomputed,
         plus tombstones for rollup groups that no longer exist; same
         fencing, one commit, correct from any staleness."""
+        # the base (and the rollup) may have been advanced by OTHER
+        # LakeTable instances — a streaming job's foreachBatch, another
+        # scheduled refresh — so drop the cached manifests before
+        # deciding anything (version re-lists the directory; reads must
+        # see the same snapshot the version check saw)
+        self.base._manifest_cache = None
+        self.table._manifest_cache = None
         last = self.last_refreshed_version()
         cur = self.base.version
         if cur <= last:
@@ -194,12 +201,24 @@ class ContinuousRollup:
                 F.lit(_dt.datetime(2020, 1, 1)).cast("timestamp"),
             )
         )
-        result = self.table.merge(
-            updates,
-            batch_id=batch_id,
-            start_lsn=last,
-            end_lsn=cur,
-        )
+        try:
+            result = self.table.merge(
+                updates,
+                batch_id=batch_id,
+                start_lsn=last,
+                end_lsn=cur,
+            )
+        except Exception as e:  # double-fired scheduler: lose the race cleanly
+            from gene_etl_spark.lake.table import CommitConflict
+
+            if isinstance(e, CommitConflict) and (
+                batch_id in self.table.committed_batches()
+                or self.last_refreshed_version() > last
+            ):
+                # the same refresh (or a newer one) already committed —
+                # a scheduled job double-fire is a no-op, not a failure
+                return {"refreshed": False, "from_version": last, "to_version": cur}
+            raise
         return {
             "refreshed": True,
             "full_rebuild": full_rebuild,

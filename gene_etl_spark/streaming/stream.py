@@ -52,9 +52,16 @@ def ingest_stream(
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
     timeout_sec: float = 600.0,
+    rollups: list | None = None,
 ) -> dict:
     """Run an availableNow streaming ingest over the change log; returns
-    a summary once the stream drains."""
+    a summary once the stream drains.
+
+    ``rollups``: optional ContinuousRollup instances refreshed after
+    every committed epoch — streaming-maintained materialized views:
+    each epoch's MERGE lands, then its change rows fold into the
+    aggregates (refresh is fenced, so a replayed epoch re-folds
+    nothing)."""
     src_schema = None
     if config.source_schema_json:
         import json as _json
@@ -167,6 +174,8 @@ def ingest_stream(
             )
             applied["epochs"] += 1
             applied["events"] += n
+            for r in rollups or []:
+                r.refresh()
         finally:
             cached.unpersist()
 

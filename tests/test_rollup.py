@@ -454,3 +454,107 @@ def test_sql_view_surface(spark, workdir):
     ).collect()
     assert [x.candidate_rank for x in top] == [1, 2, 3]
     assert set(views) == {"vw_pairs_candidate", "vw_pairs_candidate_q"}
+
+
+def test_rollup_concurrent_refresh_loses_cleanly(spark, workdir):
+    """A double-fired scheduled refresh: the loser detects the winner's
+    commit (same fenced batch_id) and reports a no-op instead of
+    raising — rollup state stays correct."""
+    t = LakeTable.create(spark, f"{workdir}/lake", SCHEMA, ["conv_id", "turn_idx"], 8)
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("val").alias("sum_val"),
+    ]
+    t.merge(
+        _upd(spark, [(1, "I", "c0", 0, "a", 1.0), (2, "I", "c1", 0, "b", 2.0)]),
+        batch_id="b1",
+    )
+    roll_a = ContinuousRollup(spark, f"{workdir}/rollup", t, ["grp"], aggs, num_buckets=4)
+    roll_b = ContinuousRollup(spark, f"{workdir}/rollup", t, ["grp"], aggs, num_buckets=4)
+
+    orig = roll_a.table._write_manifest
+    fired = {"x": False}
+
+    def racy(manifest):
+        if not fired["x"]:
+            fired["x"] = True
+            roll_b.refresh()  # the winner lands the same rollup-v0-v1
+        return orig(manifest)
+
+    roll_a.table._write_manifest = racy
+    s = roll_a.refresh()
+    assert not s["refreshed"]  # lost the race -> clean no-op
+    assert _rollup_state(roll_b) == {"a": (1, 1.0), "b": (1, 2.0)}
+
+
+def test_streaming_maintained_rollup(spark, workdir):
+    """rollups= in ingest_stream: each committed epoch folds into the
+    aggregate — a streaming materialized view. Final rollup equals the
+    batch recompute, and multiple epochs produced multiple fenced
+    rollup commits."""
+    from gene_etl_spark.config import IngestConfig
+    from gene_etl_spark.sources.simulate import generate_change_stream
+    from gene_etl_spark.streaming.stream import ingest_stream
+
+    generate_change_stream(
+        os.path.join(workdir, "events"),
+        n_convs=20,
+        max_turns=8,
+        n_events=1200,
+        seed=17,
+        n_tranches=4,
+        evolve_at_frac=0.0,
+    )
+    cfg = IngestConfig(
+        lake_path=os.path.join(workdir, "lake"),
+        events_path=os.path.join(workdir, "events"),
+        ledger_path=os.path.join(workdir, "ledger"),
+        metrics_path=os.path.join(workdir, "metrics"),
+        validation_path=os.path.join(workdir, "validation"),
+        num_buckets=8,
+    )
+    # the rollup's base handle is a DIFFERENT LakeTable instance than
+    # the stream's writer — refresh() must see the new snapshots anyway
+    base = LakeTable.create(
+        spark,
+        cfg.lake_path,
+        T.StructType(
+            [
+                T.StructField("conv_id", T.StringType()),
+                T.StructField("turn_idx", T.IntegerType()),
+                T.StructField("role", T.StringType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("ts", T.TimestampType()),
+            ]
+        ),
+        key_cols=["conv_id", "turn_idx"],
+        num_buckets=8,
+    )
+    roll = ContinuousRollup(
+        spark,
+        os.path.join(workdir, "rollup"),
+        base,
+        ["role"],
+        [F.count(F.lit(1)).cast("long").alias("n_turns")],
+        num_buckets=4,
+    )
+    summary = ingest_stream(
+        spark,
+        cfg,
+        os.path.join(workdir, "ckpt"),
+        max_files_per_trigger=2,
+        rollups=[roll],
+    )
+    assert summary["epochs"] >= 2
+    final = LakeTable.load(spark, cfg.lake_path)
+    expect = {
+        r.role: r.n_turns
+        for r in final.read()
+        .groupBy("role")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_turns"))
+        .collect()
+    }
+    got = {r.role: r.n_turns for r in roll.read().collect()}
+    assert got == expect
+    # one fenced rollup commit per applied epoch
+    assert len(roll.table.committed_batches()) == summary["epochs"]
