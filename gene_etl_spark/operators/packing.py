@@ -1,0 +1,109 @@
+"""Sequence packing: fill fixed-size context windows with documents —
+the sample-packing step between a cleaned corpus and a training run.
+
+Packing is inherently sequential (bin state), so it cannot be a pure
+column expression; the distributed decomposition is the standard one:
+
+1. shard documents deterministically into packer groups (key-hash, so
+   the layout is reproducible and groups are balanced);
+2. each group packs ITS documents greedily (first-fit-decreasing over a
+   deterministic order) inside one Arrow batch — state never crosses a
+   group boundary, so groups parallelize perfectly;
+3. bin ids are (group, local) pairs — globally unique without any
+   coordination.
+
+Packing quality costs only at group boundaries (each group wastes at
+most its own tail bins); with thousands of groups over billions of
+documents the fill-rate loss vs a single global packer is negligible,
+while a global packer would serialize the corpus through one node.
+Oversized documents (> window) are emitted alone in a single bin,
+flagged, so the caller can truncate/split them downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gene_etl_spark.operators.sampling import sample_hash
+
+PACK_SCHEMA = T.StructType(
+    [
+        T.StructField("bin_id", T.LongType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("bin_fill", T.LongType()),
+        T.StructField("oversize", T.BooleanType()),
+    ]
+)
+
+GROUP_SHIFT = 20  # up to ~1M bins per packer group
+
+
+def pack_sequences(
+    docs: DataFrame,
+    max_tokens: int,
+    doc_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    num_groups: int = 64,
+    seed: int = 0,
+) -> DataFrame:
+    """Assign every document to exactly one bin of capacity
+    ``max_tokens``. Returns (bin_id, doc_id, n_tokens, bin_fill,
+    oversize): one row per document, ``bin_fill`` repeated per bin for
+    convenience. Deterministic for a given (corpus, max_tokens,
+    num_groups, seed)."""
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+
+    grouped = docs.select(
+        F.col(doc_col).cast("long").alias("doc_id"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+        F.pmod(sample_hash(doc_col, seed, "xxhash64"), F.lit(num_groups))
+        .cast("int")
+        .alias("_grp"),
+    )
+
+    def pack_group(pdf):
+        import pandas as pd
+
+        grp = int(pdf["_grp"].iloc[0])
+        # first-fit-decreasing over a deterministic order: by size desc,
+        # doc_id asc — reproducible regardless of arrival order
+        rows = sorted(
+            zip(pdf["doc_id"].tolist(), pdf["n_tokens"].tolist()),
+            key=lambda t: (-t[1], t[0]),
+        )
+        bins: list[int] = []  # remaining capacity per bin
+        assign: list[tuple[int, int, int, bool]] = []
+        for doc_id, n in rows:
+            if n > max_tokens:  # oversized: alone in its own bin, flagged
+                bins.append(0)
+                assign.append((len(bins) - 1, doc_id, n, True))
+                continue
+            placed = False
+            for b in range(len(bins)):
+                if bins[b] >= n:
+                    bins[b] -= n
+                    assign.append((b, doc_id, n, False))
+                    placed = True
+                    break
+            if not placed:
+                bins.append(max_tokens - n)
+                assign.append((len(bins) - 1, doc_id, n, False))
+        fill = {}
+        for b, _doc, n, _o in assign:
+            fill[b] = fill.get(b, 0) + n
+        base = grp << GROUP_SHIFT
+        return pd.DataFrame(
+            {
+                "bin_id": [base + b for b, _d, _n, _o in assign],
+                "doc_id": [d for _b, d, _n, _o in assign],
+                "n_tokens": [n for _b, _d, n, _o in assign],
+                "bin_fill": [fill[b] for b, _d, _n, _o in assign],
+                "oversize": [o for _b, _d, _n, o in assign],
+            }
+        )
+
+    return grouped.groupBy("_grp").applyInPandas(pack_group, PACK_SCHEMA)
