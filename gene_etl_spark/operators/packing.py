@@ -66,32 +66,46 @@ def pack_sequences(
     )
 
     def pack_group(pdf):
+        import bisect
+
         import pandas as pd
 
         grp = int(pdf["_grp"].iloc[0])
-        # first-fit-decreasing over a deterministic order: by size desc,
-        # doc_id asc — reproducible regardless of arrival order
+        # best-fit-decreasing over a deterministic order (size desc,
+        # doc_id asc — reproducible regardless of arrival order). Open
+        # bins are kept as a capacity-sorted list, so each placement is
+        # a bisect for the TIGHTEST bin that fits: O(n log n)-ish per
+        # group instead of FFD's linear scan per document (quadratic
+        # when a group holds millions of docs), with the same ≤11/9·OPT
+        # packing bound. Ties on capacity break by bin id (bisect key
+        # includes it), keeping the layout fully deterministic.
         rows = sorted(
             zip(pdf["doc_id"].tolist(), pdf["n_tokens"].tolist()),
             key=lambda t: (-t[1], t[0]),
         )
-        bins: list[int] = []  # remaining capacity per bin
+        n_bins = 0
+        open_bins: list[tuple[int, int]] = []  # (remaining, bin_id), sorted
         assign: list[tuple[int, int, int, bool]] = []
         for doc_id, n in rows:
             if n > max_tokens:  # oversized: alone in its own bin, flagged
-                bins.append(0)
-                assign.append((len(bins) - 1, doc_id, n, True))
+                assign.append((n_bins, doc_id, n, True))
+                n_bins += 1
                 continue
-            placed = False
-            for b in range(len(bins)):
-                if bins[b] >= n:
-                    bins[b] -= n
-                    assign.append((b, doc_id, n, False))
-                    placed = True
-                    break
-            if not placed:
-                bins.append(max_tokens - n)
-                assign.append((len(bins) - 1, doc_id, n, False))
+            # tightest open bin with remaining >= n
+            i = bisect.bisect_left(open_bins, (n, -1))
+            if i < len(open_bins):
+                rem, b = open_bins.pop(i)
+                new_rem = rem - n
+                if new_rem > 0:
+                    bisect.insort(open_bins, (new_rem, b))
+                assign.append((b, doc_id, n, False))
+            else:
+                b = n_bins
+                n_bins += 1
+                rem = max_tokens - n
+                if rem > 0:
+                    bisect.insort(open_bins, (rem, b))
+                assign.append((b, doc_id, n, False))
         fill = {}
         for b, _doc, n, _o in assign:
             fill[b] = fill.get(b, 0) + n
