@@ -44,7 +44,7 @@ import datetime as _dt
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gene_etl_spark.lake.changes import CHANGE_OP_COL, read_changes
+from gene_etl_spark.lake.changes import read_changes
 from gene_etl_spark.lake.table import LakeTable
 
 
@@ -132,13 +132,15 @@ class ContinuousRollup:
         fencing, one commit, correct from any staleness."""
         # the base (and the rollup) may have been advanced by OTHER
         # LakeTable instances — a streaming job's foreachBatch, another
-        # scheduled refresh — so drop the cached manifests before
-        # deciding anything (version re-lists the directory; reads must
-        # see the same snapshot the version check saw)
+        # scheduled refresh — so drop the cached manifests and PIN this
+        # refresh to one base snapshot: the version recorded and the
+        # state scanned must be the same manifest even if the base
+        # advances mid-refresh (a later refresh folds the newer commits)
         self.base._manifest_cache = None
         self.table._manifest_cache = None
+        base_manifest = self.base.manifest
         last = self.last_refreshed_version()
-        cur = self.base.version
+        cur = base_manifest["version"]
         if cur <= last:
             return {"refreshed": False, "from_version": last, "to_version": last}
         batch_id = f"rollup-v{last}-v{cur}"
@@ -157,7 +159,7 @@ class ContinuousRollup:
         if full_rebuild:
             # broken manifest chain (snapshots expired past retention):
             # re-baseline — dirty set = current groups ∪ rollup groups
-            state = self._with_derived(self.base.read())
+            state = self._with_derived(self.base.read(manifest=base_manifest))
             dirty = (
                 state.select(*self.group_cols)
                 .distinct()
@@ -165,7 +167,15 @@ class ContinuousRollup:
                 .distinct()
             )
         else:
-            state = self._with_derived(self.base.read(buckets=self._prune_buckets(dirty)))
+            state = self._with_derived(
+                self.base.read(
+                    buckets=self._prune_buckets(dirty), manifest=base_manifest
+                )
+            )
+        # the dirty set feeds three consumers (bucket pruning, the
+        # semijoin's broadcast, the tombstone anti-join): materialize it
+        # once instead of re-deriving the change feed per job
+        dirty = dirty.persist()
         fresh = (
             state.join(F.broadcast(dirty), self.group_cols, "leftsemi")
             .groupBy(*self.group_cols)
@@ -219,6 +229,8 @@ class ContinuousRollup:
                 # a scheduled job double-fire is a no-op, not a failure
                 return {"refreshed": False, "from_version": last, "to_version": cur}
             raise
+        finally:
+            dirty.unpersist()
         return {
             "refreshed": True,
             "full_rebuild": full_rebuild,
