@@ -283,3 +283,19 @@ def test_slice_read_pushes_lsn_bounds(spark, tmp_path):
     assert has_pushed_filters(sl)
     plan = formatted_plan(sl)
     assert "lsn" in plan.split("PushedFilters", 1)[1][:200]
+
+
+def test_merged_queries_plan_shapes(spark):
+    """Round-3 merged queries keep the plans their twins had:
+    corr_methods' two rank windows and the final agg all share ONE
+    l_returnflag exchange; the recency rollup takes TakeOrdered over
+    the aggregate (no global sort)."""
+    from gene_etl_spark.plans import formatted_plan
+    from gene_etl_spark.queries.relational import q_corr_methods
+    from gene_etl_spark.queries.relational2 import q_recent_daily_rollup
+
+    sf = "/root/testdata/sf0.001"
+    plan = formatted_plan(q_corr_methods(spark, sf))
+    assert plan.count("Exchange (") == 1
+    plan = formatted_plan(q_recent_daily_rollup(spark, sf))
+    assert "TakeOrderedAndProject" in plan
