@@ -1,9 +1,9 @@
 """End-to-end training-corpus construction: the whole LLM-data story
 as ONE composed pipeline over the operator family —
 
-    quality gate → exact dedup → MinHash-LSH near-dup removal →
-    decontamination vs an eval set → stratified language mixing →
-    sequence packing into context windows
+    quality gate → repetition filter → exact dedup → MinHash-LSH
+    near-dup removal → decontamination vs an eval set → stratified
+    language mixing → sequence packing into context windows
 
 Every stage is a DataFrame transform (the near-dup and decontamination
 joins are banded/broadcast equi-joins; sampling is a row-local hash
@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from gene_etl_spark.functions import md5_long
 from gene_etl_spark.operators.decontaminate import decontaminate
 from gene_etl_spark.operators.packing import pack_sequences
+from gene_etl_spark.operators.repetition import repetition_gate
 from gene_etl_spark.operators.sampling import stratified_sample
 from gene_etl_spark.queries.textops import (
     docs_norm,
@@ -36,6 +37,7 @@ def build_corpus(
     *,
     eval_set: DataFrame | None = None,
     min_tokens: int = 30,
+    repetition_filter: bool = True,
     lang_fractions: dict[str, float] | None = None,
     default_fraction: float = 1.0,
     window: int = 512,
@@ -52,6 +54,13 @@ def build_corpus(
     # 1. quality gate
     gated = d.where(F.col("n_tokens") >= min_tokens)
     stats["quality_gated"] = gated.count()
+
+    # 1b. repetition filter (boilerplate/templated text)
+    if repetition_filter:
+        gated = repetition_gate(gated).drop(
+            "dup_line_frac", "dup_line_char_frac", "top_bigram_share"
+        )
+        stats["repetition_gated"] = gated.count()
 
     # 2. exact dedup: keep the lowest doc_id per normalized fingerprint
     deduped = (

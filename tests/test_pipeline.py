@@ -33,8 +33,8 @@ def test_build_corpus_end_to_end(spark):
     )
     s = out["stats"]
     # monotone non-increasing through the funnel, every stage present
-    order = ["input", "quality_gated", "exact_deduped", "near_deduped",
-             "decontaminated", "mixed"]
+    order = ["input", "quality_gated", "repetition_gated", "exact_deduped",
+             "near_deduped", "decontaminated", "mixed"]
     vals = [s[k] for k in order]
     assert vals == sorted(vals, reverse=True)
     assert s["input"] == 500
