@@ -85,6 +85,16 @@ def q_two_alias_join(spark, sf_dir):
     n2 = nation.select(
         F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
     )
+    # revenue in exact integer cents: each price*(1-discount) product is
+    # on a 4-decimal grid, so a group's true sum CAN land exactly on a
+    # half-cent boundary where the two engines' summation order decides
+    # the rounding (observed at sf0.001: 753930.795). The per-row
+    # product is one multiplication of identical doubles — bitwise
+    # identical cross-engine — so rounding IT to whole cents and summing
+    # as integers removes the tie entirely.
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
     return (
         li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
@@ -94,7 +104,7 @@ def q_two_alias_join(spark, sf_dir):
         .groupBy("supp_nation", "cust_nation")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.round(F.sum(cents) / 100.0, 2).alias("revenue"),
         )
     )
 
@@ -102,7 +112,7 @@ def q_two_alias_join(spark, sf_dir):
 SQL_TWO_ALIAS_JOIN = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        COUNT(*)::BIGINT AS n_rows,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       ROUND(SUM(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)::BIGINT) / 100.0, 2) AS revenue
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN orders   ON l_orderkey = o_orderkey

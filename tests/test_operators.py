@@ -299,3 +299,16 @@ def test_merged_queries_plan_shapes(spark):
     assert plan.count("Exchange (") == 1
     plan = formatted_plan(q_recent_daily_rollup(spark, sf))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_candidate_view_q_plan_is_cohort_partitioned(spark):
+    """The composed q-value pipeline must never run a whole-table
+    single-partition window: the BH windows partition by cohort, and
+    the only unpartitioned window is the final rank over the
+    TakeOrdered candidate prefix."""
+    from gene_etl_spark.plans import formatted_plan
+    from gene_etl_spark.queries.relational3 import q_candidate_view_q
+
+    plan = formatted_plan(q_candidate_view_q(spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan
+    assert "hashpartitioning(cohort" in plan  # BH runs per cohort
