@@ -19,7 +19,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_once(cores: int, events: int, convs: int, slices: int) -> dict:
+def run_once(cores: int, events: int, convs: int, slices: int, mode: str) -> dict:
     out = subprocess.run(
         [
             sys.executable,
@@ -28,6 +28,7 @@ def run_once(cores: int, events: int, convs: int, slices: int) -> dict:
             "--events", str(events),
             "--convs", str(convs),
             "--slices", str(slices),
+            "--mode", mode,
         ],
         capture_output=True,
         text=True,
@@ -44,12 +45,17 @@ def main() -> None:
     ap.add_argument("--convs", type=int, default=40_000)
     ap.add_argument("--slices", type=int, default=8)
     ap.add_argument("--trials", type=int, default=2)
+    ap.add_argument("--mode", choices=["cow", "mor"], default="cow")
+    ap.add_argument(
+        "--no-write", action="store_true",
+        help="print the table but keep the curated BENCH/BASELINE.md",
+    )
     args = ap.parse_args()
 
     results = {args.n: [], 4 * args.n: []}
     for trial in range(args.trials):
         for cores in (args.n, 4 * args.n):
-            r = run_once(cores, args.events, args.convs, args.slices)
+            r = run_once(cores, args.events, args.convs, args.slices, args.mode)
             results[cores].append(r)
             print(f"trial {trial} cores={cores}: {r['steady_state_events_per_sec']} ev/s "
                   f"steady-state ({r['wall_sec']}s total)", flush=True)
@@ -92,9 +98,10 @@ driver-gated `cdc_replay` query.
 
 Measured {datetime.datetime.now(datetime.timezone.utc).strftime('%Y-%m-%d %H:%M UTC')}.
 """
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    if not args.no_write:
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+            f.write(md)
     print(md)
     print(json.dumps({"n": best_n, "4n": best_4n, "efficiency": round(eff, 3)}))
 
