@@ -75,8 +75,9 @@ shared box is excluded by taking the best steady-state run).
   ~30% hot-key skew on one conversation, ~10% event-time disorder,
   additive `tool` column appearing mid-stream.
 - Job: binlog tail → pre-validate → salted LWW dedup → bucketed
-  copy-on-write MERGE into the lake table (64 buckets) → lineage
-  counters + ledger commit. {args.slices} LSN slices.
+  {'copy-on-write' if args.mode == 'cow' else 'merge-on-read'} MERGE
+  into the lake table (64 buckets) → lineage counters + ledger commit.
+  {args.slices} LSN slices.
 - Machine: single host, local[N] task threads (no real cluster in this
   sandbox; see BASELINE.md "Measurement methodology").
 
