@@ -83,6 +83,15 @@ def main() -> None:
     ss_events = sum(b["events_read"] for b in ss)
     ss_wall = sum(b["wall_ms"] for b in ss) / 1000.0
 
+    # per-phase means over the steady-state batches: how much of a batch
+    # is measured engine phases vs unattributed driver/commit constant
+    phase_keys = sorted({k for b in ss for k in (b.get("phases") or {})})
+    phase_means = {
+        k: round(sum((b["phases"].get(k) or 0.0) for b in ss) / len(ss), 3)
+        for k in phase_keys
+    } if ss else {}
+    mean_wall = round(sum(b["wall_ms"] for b in ss) / len(ss) / 1000.0, 3) if ss else 0.0
+
     out = {
         "cores": args.cores,
         "mode": args.mode,
@@ -93,6 +102,8 @@ def main() -> None:
         "steady_state_events_per_sec": round(ss_events / ss_wall, 1) if ss_wall else 0.0,
         "steady_state_batches": len(ss),
         "final_rows": final_rows,
+        "ss_batch_wall_mean_sec": mean_wall,
+        "ss_phase_means_sec": phase_means,
     }
     print(json.dumps(out))
     if args.json_out:

@@ -65,8 +65,18 @@ def _mor_commit_changes(
         for f in phys.fields:  # parent may predate additive columns
             if f.name not in old.columns:
                 old = old.withColumn(f.name, F.lit(None).cast(f.dataType))
+        # Broadcast the delta's key set only when the commit summary
+        # proves it is small; a huge MoR batch (millions of keys) would
+        # blow the broadcast/driver limit, so beyond the threshold the
+        # semijoin runs un-hinted (AQE picks shuffle vs broadcast from
+        # the real post-distinct size).
+        summary = m.get("summary", {}) or {}
+        n_keys = (summary.get("upserts") or 0) + (summary.get("deletes") or 0)
+        delta_keys = df.select(*keys).distinct()
+        if 0 < n_keys <= 2_000_000:
+            delta_keys = F.broadcast(delta_keys)
         pre = (
-            old.join(F.broadcast(df.select(*keys).distinct()), keys, "leftsemi")
+            old.join(delta_keys, keys, "leftsemi")
             .select(
                 *[F.col(f.name) for f in phys.fields],
                 F.lit("UP").alias(CHANGE_OP_COL),

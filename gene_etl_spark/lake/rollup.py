@@ -156,6 +156,7 @@ class ContinuousRollup:
         except ValueError:
             dirty = None
             full_rebuild = True
+        state = None
         if full_rebuild:
             # broken manifest chain (snapshots expired past retention):
             # re-baseline — dirty set = current groups ∪ rollup groups
@@ -166,16 +167,38 @@ class ContinuousRollup:
                 .unionByName(self.table.read().select(*self.group_cols))
                 .distinct()
             )
-        else:
+        # the dirty set feeds three consumers (bucket pruning, the
+        # semijoin's broadcast, the tombstone anti-join): materialize it
+        # once — BEFORE the pruning collect, which is the first action
+        # that would otherwise re-derive the change-feed plan — and
+        # guarantee release on ANY failure from here on (an unpersist
+        # tied only to the merge would leak the cache if plan
+        # construction itself raised)
+        dirty = dirty.persist()
+        try:
+            return self._refresh_merge(
+                dirty, full_rebuild, base_manifest, batch_id, last, cur,
+                state=state,
+            )
+        finally:
+            dirty.unpersist()
+
+    def _refresh_merge(
+        self,
+        dirty: DataFrame,
+        full_rebuild: bool,
+        base_manifest: dict,
+        batch_id: str,
+        last: int,
+        cur: int,
+        state: DataFrame | None,
+    ) -> dict:
+        if state is None:
             state = self._with_derived(
                 self.base.read(
                     buckets=self._prune_buckets(dirty), manifest=base_manifest
                 )
             )
-        # the dirty set feeds three consumers (bucket pruning, the
-        # semijoin's broadcast, the tombstone anti-join): materialize it
-        # once instead of re-deriving the change feed per job
-        dirty = dirty.persist()
         fresh = (
             state.join(F.broadcast(dirty), self.group_cols, "leftsemi")
             .groupBy(*self.group_cols)
@@ -229,8 +252,6 @@ class ContinuousRollup:
                 # a scheduled job double-fire is a no-op, not a failure
                 return {"refreshed": False, "from_version": last, "to_version": cur}
             raise
-        finally:
-            dirty.unpersist()
         return {
             "refreshed": True,
             "full_rebuild": full_rebuild,

@@ -9,8 +9,10 @@ column expression; the distributed decomposition is the standard one:
 2. each group packs ITS documents greedily (first-fit-decreasing over a
    deterministic order) inside one Arrow batch — state never crosses a
    group boundary, so groups parallelize perfectly;
-3. bin ids are (group, local) pairs — globally unique without any
-   coordination.
+3. bin ids interleave (local_bin * num_groups + group) — globally
+   unique without coordination and without any per-group bin-count
+   ceiling (a fixed bit-shift scheme would silently collide once a
+   group packs more bins than the shift allows).
 
 Packing quality costs only at group boundaries (each group wastes at
 most its own tail bins); with thousands of groups over billions of
@@ -37,9 +39,6 @@ PACK_SCHEMA = T.StructType(
         T.StructField("oversize", T.BooleanType()),
     ]
 )
-
-GROUP_SHIFT = 20  # up to ~1M bins per packer group
-
 
 def pack_sequences(
     docs: DataFrame,
@@ -109,10 +108,11 @@ def pack_sequences(
         fill = {}
         for b, _doc, n, _o in assign:
             fill[b] = fill.get(b, 0) + n
-        base = grp << GROUP_SHIFT
+        # interleaved global id: unique across groups for ANY bin count
+        # (no 2^k-bins-per-group ceiling a shift scheme would impose)
         return pd.DataFrame(
             {
-                "bin_id": [base + b for b, _d, _n, _o in assign],
+                "bin_id": [b * num_groups + grp for b, _d, _n, _o in assign],
                 "doc_id": [d for _b, d, _n, _o in assign],
                 "n_tokens": [n for _b, _d, n, _o in assign],
                 "bin_fill": [fill[b] for b, _d, _n, _o in assign],

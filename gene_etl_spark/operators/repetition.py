@@ -48,18 +48,31 @@ def repetition_signals(
     total_chars = F.aggregate(
         lines, F.lit(0), lambda acc, l: acc + F.length(l)
     )
-    # characters belonging to lines that occur more than once: total
-    # minus each distinct line counted exactly once
-    uniq_chars = F.aggregate(
-        distinct_lines,
-        F.lit(0),
-        lambda acc, l: acc
-        + F.when(
-            F.size(F.filter(lines, lambda x: x == l)) == 1, F.length(l)
-        ).otherwise(F.lit(0)),
+    # characters belonging to lines that occur more than once, via the
+    # same sort-and-run technique as top_bigram_share below (O(n log n)
+    # per document; a distinct×filter scan would be O(lines²) and
+    # line-heavy documents would dominate the stage): when a run reaches
+    # its 2nd element both occurrences' chars become "duplicated", each
+    # further occurrence adds its own.
+    sorted_lines = F.array_sort(lines)
+    lacc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("dupc")
     )
+
+    def _lstep(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        add = (
+            F.when(run == 2, F.length(x) * 2)
+            .when(run > 2, F.length(x))
+            .otherwise(F.lit(0))
+        )
+        return F.struct(
+            x.alias("prev"), run.alias("run"), (acc["dupc"] + add).alias("dupc")
+        )
+
+    dup_chars = F.aggregate(sorted_lines, lacc0, _lstep, lambda acc: acc["dupc"])
     dup_line_char_frac = F.when(
-        total_chars > 0, (total_chars - uniq_chars) / total_chars
+        total_chars > 0, dup_chars / total_chars
     ).otherwise(F.lit(0.0))
 
     toks = (

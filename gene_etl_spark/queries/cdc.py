@@ -211,6 +211,80 @@ FROM ranked WHERE rn = 1
 """
 
 
+def q_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-rollup maintenance, value-gated end-to-end (round-4,
+    verdict item 5): replay the derived change stream through the REAL
+    engine slice by slice, refreshing a per-role rollup (turn count +
+    total text chars — the reference's per-cohort summary view shape,
+    models.py:268-283) after EVERY committed batch via the change-feed
+    dirty-group path (lake/rollup.py). The returned final rollup state
+    must equal the DuckDB oracle's FULL recompute over the LWW winners —
+    i.e. N incremental refreshes == one full rebuild, the defining
+    invariant of incremental view maintenance."""
+    from gene_etl_spark.config import IngestConfig
+    from gene_etl_spark.lake.rollup import ContinuousRollup
+    from gene_etl_spark.runner import CdcIngestRunner
+
+    base = tempfile.mkdtemp(prefix="rollup_refresh_")
+    try:
+        events_dir = os.path.join(base, "events")
+        derived_change_events(spark, sf_dir).repartition(4).write.parquet(events_dir)
+        max_lsn = spark.read.parquet(events_dir).agg(F.max("lsn")).collect()[0][0]
+        cfg = IngestConfig(
+            lake_path=os.path.join(base, "lake"),
+            events_path=events_dir,
+            ledger_path=os.path.join(base, "ledger"),
+            metrics_path=os.path.join(base, "metrics"),
+            validation_path=os.path.join(base, "validation"),
+            num_buckets=16,
+            slice_lsn_width=max(1, int(max_lsn) // 4),
+            num_salts=4,
+            salt_threshold=0,
+            merge_mode="cow",
+        )
+        runner = CdcIngestRunner(spark, cfg)
+        roll = ContinuousRollup(
+            spark,
+            os.path.join(base, "rollup_role"),
+            runner.table,
+            group_cols=["role"],
+            agg_exprs=[
+                F.count(F.lit(1)).cast("long").alias("n_turns"),
+                F.sum(F.length("text")).cast("long").alias("total_chars"),
+            ],
+            num_buckets=4,
+        )
+        for lo, hi in runner.source.plan_batches(0, cfg.slice_lsn_width, None):
+            runner.apply_batch(lo, hi)
+            roll.refresh()  # folds exactly this batch's dirty groups
+        out = roll.read().select("role", "n_turns", "total_chars")
+        pdf = out.toPandas()
+        return spark.createDataFrame(pdf, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+SQL_ROLLUP_REFRESH = """
+WITH derived AS (
+  SELECT (event_id + 1)::BIGINT AS lsn,
+         CASE WHEN event_type = 'error' AND value < 50 THEN 'D' ELSE 'U' END AS op,
+         'u' || user_id::VARCHAR AS conv_id,
+         (event_id % 40)::INTEGER AS turn_idx,
+         event_type AS role,
+         props || '#' || FLOOR(value * 10)::BIGINT::VARCHAR AS text,
+         ts
+  FROM events
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY lsn DESC, ts DESC) AS rn
+  FROM derived
+)
+SELECT role, COUNT(*)::BIGINT AS n_turns, SUM(LENGTH(text))::BIGINT AS total_chars
+FROM ranked WHERE rn = 1 AND op <> 'D'
+GROUP BY 1
+"""
+
+
 def q_lww_dedup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The salted two-phase LWW dedup operator itself (skew path forced),
     oracle-checked against a plain window dedup in SQL."""
@@ -246,6 +320,7 @@ QUERIES = {
     "cdc_replay_mor": q_cdc_replay_mor,
     "cdc_replay_stream": q_cdc_replay_stream,
     "cdc_changes": q_cdc_changes,
+    "rollup_refresh": q_rollup_refresh,
     "lww_dedup_salted": q_lww_dedup_salted,
 }
 
@@ -254,5 +329,6 @@ ORACLES = {
     "cdc_replay_mor": SQL_CDC_REPLAY,
     "cdc_replay_stream": SQL_CDC_REPLAY,
     "cdc_changes": SQL_CDC_CHANGES,
+    "rollup_refresh": SQL_ROLLUP_REFRESH,
     "lww_dedup_salted": SQL_LWW_DEDUP_SALTED,
 }

@@ -284,38 +284,37 @@ GROUP BY 1
 # A7/A8: distinct + count-distinct (reference: etl/io.py:280-287,
 # n_unique gates etl/correlate.py:216)
 # --------------------------------------------------------------------- #
-def q_distinct(spark, sf_dir):
-    return (
-        load(spark, sf_dir, "orders")
-        .select("o_orderstatus", "o_orderpriority")
-        .distinct()
-    )
-
-
-SQL_DISTINCT = "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders"
-
-
 APPROX_RSD = 0.01  # HLL precision: measured max group error <= 1.9% at sf0.001-0.1
 
 
 def q_count_distinct(spark, sf_dir):
-    """Exact count-distinct plus the HLL approximate variant (A8 both
-    options in one gated entry). HLL register values can't hash-match a
-    DuckDB sketch, so the approximate path is gated via a deterministic
+    """A7 + A8 in one gated entry (round-4 merge, freeing a registry
+    slot for `rollup_refresh` under the 50-entry driver cap): the
+    explicit DISTINCT-tuples operator feeds exact count-distinct plus
+    the HLL approximate variant. ``n_combos`` counts the distinct
+    (suppkey, partkey, orderkey) tuples per supplier — the A7 operator's
+    output cardinality, value-gated — and the count-distinct columns are
+    computed FROM the distinct tuple set (duplicates change neither the
+    exact distincts nor the HLL registers, so values are identical to
+    the raw-table form). HLL register values can't hash-match a DuckDB
+    sketch, so the approximate path is gated via a deterministic
     bounded-relative-error flag: |approx - exact| <= 5% of exact, which
     the oracle states as a constant TRUE (measured headroom: max error
     1.9% at rsd=0.01 across sf0.001/0.01/0.1). HLL merges are
     commutative/associative, so the flag is partitioning-independent."""
     li = load(spark, sf_dir, "lineitem")
+    d = li.select("l_suppkey", "l_partkey", "l_orderkey").distinct()
     return (
-        li.groupBy("l_suppkey")
+        d.groupBy("l_suppkey")
         .agg(
+            F.count(F.lit(1)).cast("long").alias("n_combos"),
             F.countDistinct("l_partkey").cast("long").alias("n_parts"),
             F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
             F.approx_count_distinct("l_partkey", APPROX_RSD).alias("_approx_parts"),
         )
         .select(
             "l_suppkey",
+            "n_combos",
             "n_parts",
             "n_orders",
             (
@@ -329,11 +328,13 @@ def q_count_distinct(spark, sf_dir):
 
 
 SQL_COUNT_DISTINCT = """
+WITH d AS (SELECT DISTINCT l_suppkey, l_partkey, l_orderkey FROM lineitem)
 SELECT l_suppkey,
+       COUNT(*)::BIGINT AS n_combos,
        COUNT(DISTINCT l_partkey)::BIGINT AS n_parts,
        COUNT(DISTINCT l_orderkey)::BIGINT AS n_orders,
        1::BIGINT AS approx_within_5pct
-FROM lineitem GROUP BY 1
+FROM d GROUP BY 1
 """
 
 
@@ -643,7 +644,32 @@ def supplier_order_matrix(spark, sf_dir):
     )
 
 
+# The pair matrix feeds THREE battery entries (pairwise_corr,
+# candidate_view, candidate_view_q) — persist the aggregated result
+# (O(pairs) rows, tiny vs the lineitem scan that produces it) and share
+# it across invocations on the same (session, sf_dir), the textops
+# _persist_sketch pattern. Single-slot cache: switching session or
+# sf_dir releases the previous entry, so battery-lifetime memory stays
+# bounded. Values are computed inside the cached plan (round included),
+# so sharing is plan-only — every consumer stays hash-identical.
+_PAIR_CACHE: dict = {}
+
+
+def _release_pair_cache() -> None:
+    for df in _PAIR_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _PAIR_CACHE.clear()
+
+
 def q_pairwise_corr(spark, sf_dir):
+    key = (id(spark), sf_dir)
+    cached = _PAIR_CACHE.get(key)
+    if cached is not None:
+        return cached
+    _release_pair_cache()
     m = supplier_order_matrix(spark, sf_dir)
     a = m.select(
         F.col("l_suppkey").alias("supp_a"), F.col("l_orderkey").alias("ok"), F.col("v").alias("va")
@@ -652,14 +678,17 @@ def q_pairwise_corr(spark, sf_dir):
         F.col("l_suppkey").alias("supp_b"), F.col("l_orderkey").alias("ok"), F.col("v").alias("vb")
     )
     pairs = a.join(b, "ok").where(F.col("supp_a") < F.col("supp_b"))
-    return (
+    out = (
         pairs.groupBy("supp_a", "supp_b")
         .agg(
             F.round(F.corr("va", "vb"), 6).alias("rho"),
             F.count(F.lit(1)).cast("long").alias("n_samples"),
         )
         .where(F.col("n_samples") >= MIN_PAIR_N)
+        .persist()
     )
+    _PAIR_CACHE[key] = out
+    return out
 
 
 SQL_PAIRWISE_CORR = f"""
@@ -684,7 +713,6 @@ QUERIES = {
     "expression_proportion": q_expression_proportion,
     "variance_topn": q_variance_topn,
     "robust_stats": q_robust_stats,
-    "distinct": q_distinct,
     "count_distinct": q_count_distinct,
     "multi_agg_case": q_multi_agg_case,
     "global_stats": q_global_stats,
@@ -706,7 +734,6 @@ ORACLES = {
     "expression_proportion": SQL_EXPRESSION_PROPORTION,
     "variance_topn": SQL_VARIANCE_TOPN,
     "robust_stats": SQL_ROBUST_STATS,
-    "distinct": SQL_DISTINCT,
     "count_distinct": SQL_COUNT_DISTINCT,
     "multi_agg_case": SQL_MULTI_AGG_CASE,
     "global_stats": SQL_GLOBAL_STATS,

@@ -179,16 +179,81 @@ JOIN supplier sb ON supp_b = sb.s_suppkey
 # global window at any scale; only the final rank runs global, over a
 # TakeOrdered prefix of CANDIDATE_TOPN rows.
 #
-# The p-value is the RATIONAL p-twin p = (1 - rho²) / (1 + (n-3)·rho²):
-# monotone decreasing in |rho| and in n like the t-test p, but built
-# from +,·,/ only, which IEEE-754 guarantees bitwise-identical across
-# engines — transcendentals (exp/erf) may differ in the last ulp and
-# would poison the value-hash gate. The exact t/betainc kernel is the
-# rows-only `pairwise_corr_p` entry (operators/stats.py:153). Banding
-# thresholds are the reference's q cuts; on this null synthetic corpus
-# BH correctly drives every q toward 1, so the band column honestly
-# reads 'Not Significant' while rho/p/q carry full hash signal.
+# The p-value is the REAL two-sided t-test p, computed cross-engine
+# bitwise-identically with no transcendentals (round-4, closing the
+# round-3 rational-surrogate deviation). Key identity: with
+# t = rho·sqrt(df/(1-rho²)) and df = n-2, the t-CDF argument
+# x = t/sqrt(df+t²) simplifies to exactly |rho| — so the EXACT
+# closed-form t CDF for even df,
+#   p = 1 - |rho|·Σ_{j=0}^{df/2-1} c_j (1-rho²)^j,
+#   c_0 = 1, c_j = c_{j-1}·(2j-1)/(2j),
+# is a pure +,·,/ recurrence in rho alone (IEEE-754 deterministic given
+# identical evaluation order, which the Spark fold and the DuckDB
+# list_reduce below state verbatim). Odd df takes the geometric mean of
+# the adjacent even-df forms (sqrt is correctly rounded by IEEE-754, so
+# still bitwise-reproducible): max abs error vs the exact betainc
+# kernel ≤ 4.4e-4, even df exact to <1e-12 (tests/test_t_p_value.py) —
+# so any p-ranking inversion vs the true t-test can occur only between
+# pairs whose true p's differ by <9e-4, i.e. essential ties. The fold
+# input is the 6-decimal-rounded rho (identical doubles cross-engine by
+# construction) and integer n, hence identical bits out, hence a stable
+# value hash. The exact betainc kernel remains the rows-only
+# `pairwise_corr_p` entry (operators/stats.py:153). Banding thresholds
+# are the reference's q cuts; on this null synthetic corpus BH
+# correctly drives every q toward 1, so the band column honestly reads
+# 'Not Significant' while rho/p/q carry full hash signal.
 # --------------------------------------------------------------------- #
+def t_p_expr(rho, n):
+    """Two-sided Pearson-r t-test p as a Spark Column: exact even-df
+    closed form via a sequential fold, geometric-mean interpolation for
+    odd df. ``rho`` must be the decimal-rounded correlation (so both
+    engines fold identical doubles); requires n ≥ 4 (the gated query
+    guarantees n ≥ MIN_PAIR_N = 10)."""
+    absr = F.abs(rho)
+    y = F.lit(1.0) - rho * rho
+    m = F.floor((n - F.lit(2)) / F.lit(2)).cast("int")
+    odd = (n - F.lit(2)) % F.lit(2)
+
+    def _step(acc, j):
+        jd = j.cast("double")
+        term = (
+            acc["term"] * y * (F.lit(2.0) * jd - F.lit(1.0)) / (F.lit(2.0) * jd)
+        )
+        return F.struct(
+            term.alias("term"),
+            (acc["s"] + term).alias("s"),
+            acc["s"].alias("sp"),
+        )
+
+    st = F.aggregate(
+        F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+        F.struct(
+            F.lit(1.0).alias("term"), F.lit(1.0).alias("s"), F.lit(0.0).alias("sp")
+        ),
+        _step,
+    )
+    p_hi = F.greatest(F.lit(1.0) - absr * st["sp"], F.lit(0.0))  # df = 2m
+    p_lo = F.greatest(F.lit(1.0) - absr * st["s"], F.lit(0.0))  # df = 2m+2
+    return F.when(odd == 0, p_hi).otherwise(F.sqrt(p_hi * p_lo))
+
+
+def t_p_sql(rho: str, n: str) -> str:
+    """The DuckDB twin of ``t_p_expr`` — the identical fold, operation
+    for operation (list_reduce seeds the [term, s, sp] state as the
+    list's first element), so p is bitwise-identical cross-engine."""
+    m = f"CAST(FLOOR(({n} - 2) / 2) AS INT)"
+    fold = f"""list_reduce(
+      [[1.0, 1.0, 0.0]] || list_transform(range(1, GREATEST({m}, 1) + 1), j -> [j::DOUBLE, 0.0, 0.0]),
+      (acc, x) -> [
+        acc[1] * (1.0 - {rho} * {rho}) * (2.0 * x[1] - 1.0) / (2.0 * x[1]),
+        acc[2] + acc[1] * (1.0 - {rho} * {rho}) * (2.0 * x[1] - 1.0) / (2.0 * x[1]),
+        acc[2]
+      ])"""
+    return f"""CASE WHEN ({n} - 2) % 2 = 0
+       THEN GREATEST(1.0 - ABS({rho}) * ({fold})[3], 0.0)
+       ELSE SQRT(GREATEST(1.0 - ABS({rho}) * ({fold})[3], 0.0)
+                 * GREATEST(1.0 - ABS({rho}) * ({fold})[2], 0.0))
+       END"""
 def q_candidate_view_q(spark, sf_dir):
     pairs = q_pairwise_corr(spark, sf_dir).where(F.col("rho").isNotNull())
     sup = load(spark, sf_dir, "supplier").select(
@@ -197,10 +262,7 @@ def q_candidate_view_q(spark, sf_dir):
     nat = load(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("cohort"), F.col("n_name").alias("cohort_nation")
     )
-    rho2 = F.col("rho") * F.col("rho")
-    p = (F.lit(1.0) - rho2) / (
-        F.lit(1.0) + (F.col("n_samples") - F.lit(3)) * rho2
-    )
+    p = t_p_expr(F.col("rho"), F.col("n_samples"))
     df = pairs.join(F.broadcast(sup), "supp_a").withColumn("p_value", p)
     grp = Window.partitionBy("cohort")
     n = F.count(F.lit(1)).over(grp)
@@ -255,7 +317,7 @@ WITH m AS (
   HAVING COUNT(*) >= {MIN_PAIR_N}
 ), j AS (
   SELECT c.*, s.s_nationkey AS cohort,
-         (1.0 - rho * rho) / (1.0 + (n_samples - 3) * (rho * rho)) AS p_value
+         {t_p_sql("rho", "n_samples")} AS p_value
   FROM c JOIN supplier s ON c.supp_a = s.s_suppkey
   WHERE rho IS NOT NULL
 ), ranked AS (

@@ -4,8 +4,18 @@ models.py:241-283); the Spark-first analogue registers the engine's
 tables and composed read models as temp views so ANY downstream
 consumer can use plain ``spark.sql`` against them — lake state,
 rollups, and the candidate pipelines all become FROM-able relations,
-and Catalyst plans through the view boundary (views are lazy
-DataFrames, so pushdown/pruning still reach the scans).
+and Catalyst plans through the view boundary (pushdown/pruning still
+reach the scans).
+
+Snapshot semantics, stated explicitly: each lake-backed view is pinned
+to the table SNAPSHOT current at registration time (``LakeTable.read``
+resolves the manifest to an explicit file list — that is what makes
+raw-glob reads safe, and it equally means later commits are invisible
+through an already-registered view). Laziness defers COMPUTATION, not
+snapshot resolution. Consumers that need freshness re-register after
+commits: call ``refresh_lake_views`` (the ingest/rollup jobs do this
+after each committed batch/refresh) or re-run ``register_lake_views``
+— both are cheap (manifest read + view swap, no data touched).
 """
 
 from __future__ import annotations
@@ -31,6 +41,15 @@ def register_lake_views(
             LakeTable.load(spark, os.path.join(warehouse, d)).read().createOrReplaceTempView(d)
             names.append(d)
     return names
+
+
+def refresh_lake_views(
+    spark: SparkSession, warehouse: str, table: str = "transcripts"
+) -> list[str]:
+    """Re-pin the lake-backed views to the CURRENT snapshots. Alias of
+    ``register_lake_views`` (``createOrReplaceTempView`` swaps in
+    place), named for the call sites that run after a commit."""
+    return register_lake_views(spark, warehouse, table)
 
 
 def register_read_models(spark: SparkSession, sf_dir: str) -> list[str]:

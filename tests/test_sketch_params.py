@@ -15,7 +15,9 @@ from pyspark.sql import functions as F
 
 from gene_etl_spark.queries.common import simhash_band_ranges
 from gene_etl_spark.queries.textops import (
-    EMB_BLOCKS,
+    EMB_BLOCKS_MIN,
+    EMB_BLOCK_TARGET_BYTES,
+    _emb_blocks,
     q_embedding_lsh_pairs,
     q_embedding_topk_pairs,
     simhash_pigeonhole_pairs,
@@ -192,4 +194,23 @@ def test_embedding_topk_block_decomposition_is_exhaustive(spark):
         for r in q_embedding_topk_pairs(spark, SF_DIR).collect()
     ]
     assert got == expected
-    assert EMB_BLOCKS >= 2  # the decomposition is actually exercised
+    assert EMB_BLOCKS_MIN >= 2  # the decomposition is actually exercised
+
+
+def test_emb_blocks_bounds_per_task_rows():
+    """The derived block count keeps one block's vectors (n/B × dim × 8
+    bytes) under the Arrow-batch target at ANY corpus size — the
+    per-task peak is O(n/B) rows, bounded by a constant byte budget —
+    while small corpora keep the parallelism floor."""
+    # small corpus: floor dominates
+    assert _emb_blocks(500, 64) == EMB_BLOCKS_MIN
+    assert _emb_blocks(0, 64) == EMB_BLOCKS_MIN
+    # at scale: block byte size stays under target for corpora spanning
+    # 6 orders of magnitude and several dims
+    for n in [10_000, 1_000_000, 100_000_000, 10_000_000_000]:
+        for dim in [64, 768, 4096]:
+            b = _emb_blocks(n, dim)
+            rows_per_block = -(-n // b)  # ceil
+            assert rows_per_block * dim * 8 <= EMB_BLOCK_TARGET_BYTES + dim * 8
+    # monotone: more data never means fewer blocks
+    assert _emb_blocks(2_000_000, 768) >= _emb_blocks(1_000_000, 768)
