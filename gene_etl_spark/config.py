@@ -59,6 +59,14 @@ class IngestConfig:
 
     # --- validation gates (reference: etl/validate.py:33-137) ---------------
     fail_on_critical: bool = True
+    # strict_pre_checks=False (default): pre-validation sums ride the
+    # dedup job via DataFrame.observe — the slice is scanned ONCE per
+    # batch; the hard gate (null keys / bad ops / oob lsn) is identical
+    # and still fires before anything is written. True restores the
+    # dedicated pre-pass, which additionally yields per-input-partition
+    # read counters and the exact lsn-uniqueness soft check (audit mode;
+    # one extra scan per batch).
+    strict_pre_checks: bool = False
 
     # --- maintenance ---------------------------------------------------------
     compact_every_n_batches: int | None = None  # auto-compact cadence

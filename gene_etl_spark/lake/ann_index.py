@@ -1,0 +1,278 @@
+"""CDC-maintained ANN index: the embedding story connected to the
+engine (round-4 verdict item 9).
+
+``IvfVectorIndex`` keeps an inverted-file index over a CDC-maintained
+embeddings LakeTable current WITHOUT rebuilds, by chaining the same
+change-feed machinery the ContinuousRollup uses:
+
+- **coarse quantizer**: sign-random-projection cells (``n_bits``
+  deterministic hyperplanes → 2^n_bits cells). SRP needs no training
+  and assignment is a row-local column expression — the property that
+  makes incremental maintenance exact: a vector's cell depends only on
+  its own embedding, never on global state that drifts.
+- **assignment table**: a LakeTable keyed ``(cell, vec_id)`` and
+  therefore BUCKETED BY CELL — probing a cell is a bucket-pruned scan.
+  ``refresh()`` reads the base's change feed with UP preimages: every
+  changed key's OLD embedding yields a tombstone for its old cell slot,
+  every upsert's NEW embedding yields its new slot — a cell-moving
+  update dirties exactly two slots, cost ∝ change volume, never the
+  corpus. Fencing mirrors the rollup: ``batch_id = ann-v{a}-v{b}``,
+  ``end_lsn`` = base version, recovered from the index's own snapshot
+  chain.
+- **centroid table**: a ContinuousRollup OVER the assignment table
+  (per-cell element-wise mean + count) — chained CDC: base commit →
+  assignment refresh → centroid refresh, each leg incremental. Search
+  ranks cells by query↔centroid cosine (the IVF probe dial) and
+  exact-reranks inside the probed cells.
+
+At 10^9 vectors: refresh cost ∝ the slice, probe cost ∝ probed cells'
+buckets, centroid maintenance ∝ dirty cells. No full-corpus pass
+anywhere after the initial build.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gene_etl_spark.lake.changes import CHANGE_OP_COL, read_changes
+from gene_etl_spark.lake.rollup import ContinuousRollup
+from gene_etl_spark.lake.table import LakeTable
+from gene_etl_spark.operators.dedup import lww_dedup_agg
+
+ANN_SRP_SEED = 1729
+
+
+def srp_cell_expr(emb_col: str, dim: int, n_bits: int) -> Column:
+    """Deterministic SRP cell id: packed sign bits of ``n_bits``
+    hyperplane dot products — a pure column expression (row-local, no
+    state), identical for any partitioning or engine revision."""
+    rng = np.random.RandomState(ANN_SRP_SEED)
+    planes = rng.standard_normal((n_bits, dim))
+    cell = F.lit(0).cast("int")
+    for b in range(n_bits):
+        consts = F.array(*[F.lit(float(x)) for x in planes[b]])
+        dot = F.aggregate(
+            F.zip_with(F.col(emb_col), consts, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        cell = cell + F.when(dot > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return cell
+
+
+class IvfVectorIndex:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        base: LakeTable,
+        dim: int,
+        n_bits: int = 4,
+        num_buckets: int = 8,
+        emb_col: str = "embedding",
+    ):
+        self.spark = spark
+        self.path = path
+        self.base = base
+        self.dim = dim
+        self.n_bits = n_bits
+        self.emb_col = emb_col
+        key = list(base.key_cols)
+        if len(key) != 1:
+            raise ValueError("IvfVectorIndex expects a single-column base key")
+        self.vec_key = key[0]
+        if LakeTable.exists(path):
+            self.table = LakeTable.load(spark, path)
+        else:
+            import pyspark.sql.types as T
+
+            emb_type = next(
+                f.dataType for f in base.schema.fields if f.name == emb_col
+            )
+            schema = T.StructType(
+                [
+                    T.StructField("cell", T.IntegerType(), False),
+                    T.StructField(self.vec_key, T.LongType(), False),
+                    T.StructField(emb_col, emb_type, True),
+                ]
+            )
+            self.table = LakeTable.create(
+                spark, path, schema, key_cols=["cell", self.vec_key],
+                num_buckets=num_buckets,
+            )
+        self.centroids = ContinuousRollup(
+            spark,
+            path.rstrip("/") + "_centroids",
+            self.table,
+            group_cols=["cell"],
+            agg_exprs=[
+                F.count(F.lit(1)).cast("long").alias("n_vecs"),
+                F.array(
+                    *[F.avg(F.col(emb_col)[d]) for d in range(dim)]
+                ).alias("centroid"),
+            ],
+            num_buckets=4,
+        )
+
+    # ------------------------------------------------------------------ #
+    def _cell(self) -> Column:
+        return srp_cell_expr(self.emb_col, self.dim, self.n_bits)
+
+    def last_indexed_version(self) -> int:
+        v = self.table.max_committed_end_lsn()
+        return int(v) if v is not None else 0
+
+    def refresh(self) -> dict:
+        """Fold base commits since the last refresh into the assignment
+        table, then fold the assignment commits into the centroid
+        rollup. Broken feed chain → full rebuild (same contract as the
+        rollup). Within one refresh, a tombstone and an upsert can land
+        on the same (cell, vec) slot (update that does NOT move cells):
+        the tombstone set is anti-joined against the upsert keys, and
+        LSN-space doubles as belt-and-suspenders (tombstones commit at
+        2·version, upserts at 2·version+1, both monotone)."""
+        self.base._manifest_cache = None
+        self.table._manifest_cache = None
+        bm = self.base.manifest
+        last = self.last_indexed_version()
+        cur = bm["version"]
+        if cur <= last:
+            self.centroids.refresh()
+            return {"refreshed": False, "from_version": last, "to_version": last}
+        batch_id = f"ann-v{last}-v{cur}"
+        if batch_id in self.table.committed_batches():
+            self.centroids.refresh()
+            return {"refreshed": False, "from_version": last, "to_version": cur}
+
+        vk, ec = self.vec_key, self.emb_col
+        try:
+            ch = read_changes(self.base, last, cur, include_preimages=True)
+            full_rebuild = False
+        except ValueError:
+            full_rebuild = True
+        if full_rebuild:
+            state = self.base.read(manifest=bm).select(
+                self._cell().alias("cell"), F.col(vk), F.col(ec)
+            )
+            gone = (
+                self.table.read()
+                .select("cell", vk)
+                .join(state.select("cell", vk), ["cell", vk], "leftanti")
+            )
+            ups = state
+        else:
+            # newest post-state per vec across the commit range (a vec
+            # may change several times in (last, cur]): LWW over U AND D
+            # rows by (_commit_version, _lsn) via the engine's own dedup
+            # agg — a vec whose FINAL op is D must not resurrect through
+            # an earlier U row in the same range
+            post = ch.where(F.col(CHANGE_OP_COL).isin("U", "D")).select(
+                F.col(vk), F.col(ec), F.col(CHANGE_OP_COL),
+                "_commit_version", "_lsn",
+            )
+            latest = lww_dedup_agg(
+                post, key_cols=(vk,), order_cols=("_commit_version", "_lsn")
+            )
+            ups = latest.where(F.col(CHANGE_OP_COL) == "U").select(
+                self._cell().alias("cell"), F.col(vk), F.col(ec)
+            )
+            # EVERY pre-state slot of a changed key is a tombstone
+            # candidate (covers updates AND deletes; a move chain
+            # A→B→C tombstones both A and B)
+            pre = ch.where(F.col(CHANGE_OP_COL) == "UP").select(
+                self._cell().alias("cell"), F.col(vk)
+            ).distinct()
+            gone = pre.join(ups.select("cell", vk), ["cell", vk], "leftanti")
+
+        import pyspark.sql.types as T
+
+        emb_type = next(f.dataType for f in self.table.schema.fields if f.name == ec)
+        updates = (
+            ups.select("cell", vk, ec, F.lit("U").alias("op"))
+            .withColumn("lsn", F.lit(2 * cur + 1).cast("long"))
+            .unionByName(
+                gone.select(
+                    "cell",
+                    vk,
+                    F.lit(None).cast(emb_type).alias(ec),
+                    F.lit("D").alias("op"),
+                ).withColumn("lsn", F.lit(2 * cur).cast("long"))
+            )
+            .withColumn("ts", F.lit(None).cast("timestamp"))
+        )
+        try:
+            result = self.table.merge(
+                updates, batch_id=batch_id, start_lsn=last, end_lsn=cur
+            )
+        except Exception as e:
+            from gene_etl_spark.lake.table import CommitConflict
+
+            if isinstance(e, CommitConflict) and (
+                batch_id in self.table.committed_batches()
+                or self.last_indexed_version() > last
+            ):
+                self.centroids.refresh()
+                return {"refreshed": False, "from_version": last, "to_version": cur}
+            raise
+        cent = self.centroids.refresh()
+        return {
+            "refreshed": True,
+            "full_rebuild": full_rebuild,
+            "from_version": last,
+            "to_version": cur,
+            "slots_changed": result.inserts + result.updates + result.deletes,
+            "centroids": cent,
+        }
+
+    # ------------------------------------------------------------------ #
+    def search(self, query_vec, k: int = 10, nprobe: int = 2) -> DataFrame:
+        """Rank cells by query↔centroid cosine (≤2^n_bits rows collected
+        — the IVF coarse pass), then exact cosine re-rank inside the
+        probed cells via a bucket-pruned assignment-table read."""
+        q = np.asarray(query_vec, dtype=np.float64)
+        qn = q / (np.linalg.norm(q) or 1.0)
+        rows = self.centroids.read().select("cell", "centroid").collect()
+        scored = []
+        for r in rows:
+            c = np.asarray(r.centroid, dtype=np.float64)
+            n = np.linalg.norm(c)
+            scored.append((float(c @ qn / n) if n > 0 else -1.0, r.cell))
+        probes = [cell for _s, cell in sorted(scored, key=lambda t: (-t[0], t[1]))[:nprobe]]
+        if not probes:
+            return (
+                self.table.read()
+                .select(
+                    self.vec_key, "cell", F.lit(0.0).alias("cosine")
+                )
+                .limit(0)
+            )
+        bdf = self.spark.createDataFrame([(c,) for c in probes], "cell int")
+        buckets = sorted(
+            {r.b for r in bdf.select(self.table.bucket_expr("cell").alias("b")).collect()}
+        )
+        qcol = F.array(*[F.lit(float(x)) for x in qn])
+        dot = F.aggregate(
+            F.zip_with(F.col(self.emb_col), qcol, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        norm = F.sqrt(
+            F.aggregate(
+                F.transform(F.col(self.emb_col), lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+        return (
+            self.table.read(buckets=buckets)
+            .where(F.col("cell").isin([int(c) for c in probes]))
+            .select(
+                self.vec_key,
+                "cell",
+                F.round(dot / norm, 5).alias("cosine"),
+            )
+            .orderBy(F.desc("cosine"), F.asc(self.vec_key))
+            .limit(k)
+        )

@@ -66,10 +66,11 @@ def compact(table: LakeTable, max_files_per_bucket: int = 1) -> dict:
         new_deltas.pop(str(b), None)  # deltas folded into the new base
     from gene_etl_spark.lake.table import LSN_COL
 
+    both = table._collect_file_stats_multi(bucket_files, [table.key_cols[0], LSN_COL])
     new_stats = dict(manifest.get("file_stats", {}) or {})
-    new_stats.update(table._collect_file_stats(bucket_files))
+    new_stats.update(both[table.key_cols[0]])
     new_lsn_stats = dict(manifest.get("lsn_stats", {}) or {})
-    new_lsn_stats.update(table._collect_file_stats(bucket_files, column=LSN_COL))
+    new_lsn_stats.update(both[LSN_COL])
     referenced = {f for fs in new_files.values() for f in fs} | {
         f for fs in new_deltas.values() for f in fs
     }

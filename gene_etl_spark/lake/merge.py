@@ -89,16 +89,25 @@ def merge_into(
     start_lsn: int | None = None,
     end_lsn: int | None = None,
     mode: str = "cow",
+    pre_commit_gate=None,
 ) -> MergeResult:
     """mode='cow' rewrites touched buckets (read-optimized); mode='mor'
     appends per-bucket delta files with ops+LSNs retained (write-
     optimized: merge cost ∝ the slice, never the table — the 10^10-event
     design point; reads resolve LWW over base∪deltas until compaction
-    folds them in)."""
+    folds them in).
+
+    ``pre_commit_gate`` (optional callable) is invoked after the first
+    job over the update slice (bucket discovery — the point where
+    DataFrame.observe metrics on the slice become available) and BEFORE
+    any data file or manifest is written: raising from it aborts the
+    merge with the lake untouched. This is what lets the runner fuse
+    pre-validation into the dedup pass instead of scanning the slice
+    twice."""
     if mode == "mor":
         return _merge_mor(
             table, updates, batch_id=batch_id, op_col=op_col, lsn_col=lsn_col,
-            start_lsn=start_lsn, end_lsn=end_lsn,
+            start_lsn=start_lsn, end_lsn=end_lsn, pre_commit_gate=pre_commit_gate,
         )
     from gene_etl_spark.lake.table import LSN_COL
 
@@ -131,7 +140,13 @@ def merge_into(
     tp = time.time()
     upd = updates.withColumn(BUCKET_COL, table.bucket_expr())
     upd = upd.persist(StorageLevel.MEMORY_AND_DISK)
-    touched = sorted(r[0] for r in upd.select(BUCKET_COL).distinct().collect())
+    try:
+        touched = sorted(r[0] for r in upd.select(BUCKET_COL).distinct().collect())
+        if pre_commit_gate is not None:
+            pre_commit_gate()
+    except BaseException:
+        upd.unpersist()
+        raise
     timings["dedup_buckets_sec"] = round(time.time() - tp, 3)
 
     target = table.read(buckets=touched, include_meta=True)
@@ -239,11 +254,13 @@ def merge_into(
         new_files[str(b)] = bucket_files.get(str(b), [])
         new_deltas.pop(str(b), None)
     # per-file key bounds for point-lookup file skipping, pruned to files
-    # still referenced by this snapshot
+    # still referenced by this snapshot (key + LSN bounds from one footer
+    # pass over the just-written files)
+    both = table._collect_file_stats_multi(bucket_files, [key_cols[0], LSN_COL])
     new_stats = dict(manifest.get("file_stats", {}) or {})
-    new_stats.update(table._collect_file_stats(bucket_files))
+    new_stats.update(both[key_cols[0]])
     new_lsn_stats = dict(manifest.get("lsn_stats", {}) or {})
-    new_lsn_stats.update(table._collect_file_stats(bucket_files, column=LSN_COL))
+    new_lsn_stats.update(both[LSN_COL])
     referenced = {f for fs in new_files.values() for f in fs} | {
         f for fs in new_deltas.values() for f in fs
     }
@@ -310,6 +327,7 @@ def _merge_mor(
     lsn_col: str,
     start_lsn: int | None,
     end_lsn: int | None,
+    pre_commit_gate=None,
 ) -> MergeResult:
     """Merge-on-read: append the (deduped) slice as per-bucket delta
     files — payload + _lsn + _op, tombstones included. No target scan,
@@ -367,19 +385,25 @@ def _merge_mor(
     # <= num_buckets ints per partition) instead of a second
     # distinct+collect job over the cached delta — one pass, one job.
     key0, key_rest = key_cols[0], key_cols[1:]
-    counters = (
-        upd.groupBy(F.spark_partition_id().alias("partition_id"))
-        .agg(
-            F.sum((F.col(OP_COL) != "D").cast("long")).alias("updates"),
-            F.sum((F.col(OP_COL) == "D").cast("long")).alias("deletes"),
-            F.count(F.lit(1)).alias("n_out"),
-            F.countDistinct(F.col(key0), *[F.col(k) for k in key_rest]).alias(
-                "n_out_keys"
-            ),
-            F.collect_set(F.col(BUCKET_COL)).alias("_buckets"),
+    try:
+        counters = (
+            upd.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(
+                F.sum((F.col(OP_COL) != "D").cast("long")).alias("updates"),
+                F.sum((F.col(OP_COL) == "D").cast("long")).alias("deletes"),
+                F.count(F.lit(1)).alias("n_out"),
+                F.countDistinct(F.col(key0), *[F.col(k) for k in key_rest]).alias(
+                    "n_out_keys"
+                ),
+                F.collect_set(F.col(BUCKET_COL)).alias("_buckets"),
+            )
+            .collect()
         )
-        .collect()
-    )
+        if pre_commit_gate is not None:
+            pre_commit_gate()
+    except BaseException:
+        upd.unpersist()
+        raise
     touched = sorted({b for r in counters for b in r["_buckets"]})
     timings["dedup_buckets_sec"] = round(time.time() - tp, 3)
 

@@ -517,51 +517,66 @@ class LakeTable:
         self, bucket_files: dict[str, list[str]], column: str | None = None
     ) -> dict[str, list]:
         """Per-file [min, max] of ``column`` (default: the bucketing key)
-        from parquet footer statistics (driver-side, just-written local
-        files — the Iceberg per-file column-bounds analogue). The
-        range-partitioned write makes files key-sorted ranges, so key
-        bounds are tight and point lookups can skip sibling files; LSN
-        bounds prove delta/base disjointness for the fast MoR resolve.
-        (Parquet truncates very long binary stats; keys here are short
-        ids — a deployment with long keys should compare against the
-        truncated max as a prefix upper bound.)"""
+        — see ``_collect_file_stats_multi``."""
+        column = column or self.key_cols[0]
+        return self._collect_file_stats_multi(bucket_files, [column])[column]
+
+    def _collect_file_stats_multi(
+        self, bucket_files: dict[str, list[str]], columns: list[str]
+    ) -> dict[str, dict[str, list]]:
+        """Per-file [min, max] of each of ``columns`` from parquet footer
+        statistics, opening EVERY footer exactly ONCE (a commit needs
+        both key bounds and LSN bounds; reading hundreds of just-written
+        footers twice was a measurable slice of the per-batch constant).
+        Driver-side, local files — the Iceberg per-file column-bounds
+        analogue. The range-partitioned write makes files key-sorted
+        ranges, so key bounds are tight and point lookups can skip
+        sibling files; LSN bounds prove delta/base disjointness for the
+        fast MoR resolve. (Parquet truncates very long binary stats;
+        keys here are short ids — a deployment with long keys should
+        compare against the truncated max as a prefix upper bound.)"""
         import pyarrow.parquet as pq
 
-        column = column or self.key_cols[0]
-        out: dict[str, list] = {}
+        out: dict[str, dict[str, list]] = {c: {} for c in columns}
         for rels in bucket_files.values():
             for rel in rels:
                 try:
                     md = pq.ParquetFile(os.path.join(self.path, rel)).metadata
-                    idx = md.schema.to_arrow_schema().get_field_index(column)
-                    if idx < 0:
-                        continue
-                    lo = hi = None
-                    for rg in range(md.num_row_groups):
-                        st = md.row_group(rg).column(idx).statistics
-                        if st is None or not st.has_min_max:
-                            lo = hi = None
-                            break
-                        lo = st.min if lo is None else min(lo, st.min)
-                        hi = st.max if hi is None else max(hi, st.max)
-                    # JSON-safety gate: pyarrow returns raw typed stats
-                    # (bytes / timestamps / decimals for such columns),
-                    # which would blow up json.dump at manifest-write
-                    # time — OUTSIDE this try/except — and fail the
-                    # commit. Stats are an optimization: skip the file
-                    # unless both bounds are plain JSON scalars that
-                    # also compare consistently at read time.
-                    if (
-                        lo is not None
-                        and all(
-                            isinstance(v, (int, float, str))
-                            and not isinstance(v, bool)
-                            for v in (lo, hi)
-                        )
-                    ):
-                        out[rel] = [lo, hi]
+                    arrow_schema = md.schema.to_arrow_schema()
                 except Exception:  # stats are an optimization, never a failure
                     continue
+                for column in columns:
+                    try:
+                        idx = arrow_schema.get_field_index(column)
+                        if idx < 0:
+                            continue
+                        lo = hi = None
+                        for rg in range(md.num_row_groups):
+                            st = md.row_group(rg).column(idx).statistics
+                            if st is None or not st.has_min_max:
+                                lo = hi = None
+                                break
+                            lo = st.min if lo is None else min(lo, st.min)
+                            hi = st.max if hi is None else max(hi, st.max)
+                        # JSON-safety gate: pyarrow returns raw typed
+                        # stats (bytes / timestamps / decimals for such
+                        # columns), which would blow up json.dump at
+                        # manifest-write time — OUTSIDE this try/except —
+                        # and fail the commit. Stats are an optimization:
+                        # skip the file unless both bounds are plain JSON
+                        # scalars that also compare consistently at read
+                        # time.
+                        if (
+                            lo is not None
+                            and all(
+                                isinstance(v, (int, float, str))
+                                and not isinstance(v, bool)
+                                for v in (lo, hi)
+                            )
+                        ):
+                            out[column][rel] = [lo, hi]
+                    except Exception:
+                        continue
         return out
 
     @staticmethod

@@ -1114,17 +1114,32 @@ def q_corpus_pipeline_lsh(spark, sf_dir):
     d = docs_norm(spark, sf_dir).withColumn("toks", tokens_col())
     n_tokens = F.size("toks").cast("long")
     gated = d.where(n_tokens >= 30)
-    rep = repetition_signals(gated, "text").where(
+    # LSH FIRST: its entry releases the previous invocation's sketches,
+    # which must happen BEFORE this query persists its own (sig/kept
+    # below would be evicted otherwise). No distinct on the dupe-id
+    # set: anti-join semantics ignore right-side duplicates.
+    dupes = q_dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_b").alias("doc_id")
+    )
+    # Persist the computed signals BEFORE filtering on them: a filter on
+    # these columns is deterministic, so Catalyst pushes it through the
+    # fan-out exchange into the parquet scan — and a small corpus scan
+    # is ONE split, serializing the (interpreted, per-row) higher-order
+    # aggregates on a single task (measured 22 s vs 3 s at sf0.1). The
+    # cache boundary pins signal evaluation to the post-exchange stage;
+    # at real corpus scale the scan has >> cores splits and fused
+    # evaluation is the right plan either way.
+    sig = _persist_sketch(repetition_signals(gated, "text"))
+    rep = sig.where(
         (F.col("dup_line_frac") <= 0.30)
         & (F.col("dup_line_char_frac") <= 0.30)
         & (F.col("top_bigram_share") <= PIPELINE_MAX_BIGRAM_SHARE)
     )
-    # no distinct on the dupe-id set: anti-join semantics ignore
-    # right-side duplicates, so deduping first is a wasted shuffle
-    dupes = q_dedup_minhash_lsh(spark, sf_dir).select(
-        F.col("doc_b").alias("doc_id")
-    )
-    kept = rep.join(dupes, "doc_id", "leftanti")
+    # `kept` feeds THREE consumers (packing input, the pack→lang join
+    # side, and the stats agg); unpersisted, each would recompute the
+    # whole quality→repetition→LSH subtree — persist it like the
+    # sketches (released at the next sketch query's entry)
+    kept = _persist_sketch(rep.join(dupes, "doc_id", "leftanti"))
     packed = pack_sequences(
         kept.select("doc_id", n_tokens.alias("n_tokens")), PACK_WINDOW
     )

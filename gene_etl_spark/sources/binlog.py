@@ -116,11 +116,26 @@ class BinlogSource:
 
     # ------------------------------------------------------------------ #
     def read_slice(self, start_lsn: int, end_lsn: int) -> DataFrame:
-        """Events with start_lsn < lsn <= end_lsn, full declared schema."""
+        """Events with start_lsn < lsn <= end_lsn, full declared schema.
+
+        Tranche files whose cached footer LSN bounds prove they cannot
+        overlap the slice are dropped BEFORE the scan is planned (file-
+        level pruning on top of the row-group pruning the lsn predicate
+        already gets) — at a 10^6-tranche log a slice read schedules
+        tasks only for its own handful of tranches; files with unknown
+        bounds are kept."""
         schema = self.schema
         out: DataFrame | None = None
         for _cols, fs in self._groups():
-            part = self._read(schema, fs)
+            kept = []
+            for f in fs:
+                b = self.file_lsn_bounds(f)
+                if b is not None and (b[1] <= start_lsn or b[0] > end_lsn):
+                    continue
+                kept.append(f)
+            if not kept:
+                continue
+            part = self._read(schema, kept)
             out = part if out is None else out.unionByName(part)
         if out is None:
             return self.spark.createDataFrame([], schema)

@@ -69,6 +69,48 @@ class Validator:
         )
         return [r.asDict() for r in rows]
 
+    @staticmethod
+    def pre_check_exprs(key_cols: list[str], start_lsn: int, end_lsn: int):
+        """The pre-validation sums as aggregate Columns for
+        ``DataFrame.observe`` — the fused fast path: metrics ride the
+        dedup job's own pass over the slice (zero extra scan), and the
+        hard gate fires on them before anything is written. countDistinct
+        is not observable, so the soft lsn-uniqueness check belongs to
+        the strict path only (``pre_check_counters``)."""
+        null_key = None
+        for k in key_cols:
+            c = F.col(k).isNull()
+            null_key = c if null_key is None else (null_key | c)
+        return [
+            F.count(F.lit(1)).alias("events_read"),
+            F.sum(null_key.cast("long")).alias("null_keys"),
+            F.sum((~F.col("op").isin("I", "U", "D")).cast("long")).alias("bad_ops"),
+            F.sum(
+                ((F.col("lsn") <= start_lsn) | (F.col("lsn") > end_lsn)).cast("long")
+            ).alias("oob_lsn"),
+        ]
+
+    def pre_checks_from_observation(
+        self,
+        metrics: dict,
+        start_lsn: int,
+        end_lsn: int,
+        batch_id: str,
+    ) -> list[dict]:
+        """Gate on the observed sums (identical hard checks and
+        identical raise semantics as the two-pass path; runs before any
+        lake file is written)."""
+        agg = {k: int(metrics.get(k) or 0) for k in
+               ("events_read", "null_keys", "bad_ops", "oob_lsn")}
+        results = [
+            self._result(batch_id, "pre", "non_null_keys", agg["null_keys"] == 0, True, f"null_keys={agg['null_keys']}"),
+            self._result(batch_id, "pre", "valid_ops", agg["bad_ops"] == 0, True, f"bad_ops={agg['bad_ops']}"),
+            self._result(batch_id, "pre", "lsn_in_bounds", agg["oob_lsn"] == 0, True, f"oob={agg['oob_lsn']} range=({start_lsn},{end_lsn}]"),
+        ]
+        self._record(results)
+        self._gate(results)
+        return results
+
     def pre_checks(
         self,
         slice_df: DataFrame,

@@ -182,3 +182,62 @@ def test_bucket_pruned_merge(spark, workdir):
     after = runner.table.manifest["files"]
     changed = [b for b in after if after[b] != files_before.get(b)]
     assert changed == [str(res.touched_buckets[0])]
+
+
+def test_fused_pre_gate_rejects_bad_ops_before_any_write(spark, workdir):
+    """The single-pass fast path (strict_pre_checks=False) must keep the
+    hard-gate contract: a slice with an invalid op raises ValidationError
+    from the observed sums and the lake stays at its prior version with
+    no new data files."""
+    import pyspark.sql.types as T
+
+    from gene_etl_spark.validate import ValidationError
+
+    schema = T.StructType(
+        [
+            T.StructField("lsn", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_ts", T.TimestampType()),
+        ]
+    )
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, "U", "c0", 0, "user", "hi", t, t),
+        (2, "X", "c0", 1, "user", "bad", t, t),  # invalid op
+    ]
+    ev_dir = os.path.join(workdir, "events")
+    os.makedirs(ev_dir, exist_ok=True)
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(ev_dir)
+    cfg = make_config(workdir)
+    assert not cfg.strict_pre_checks  # fast path under test
+    runner = CdcIngestRunner(spark, cfg)
+    v0 = runner.table.version
+    with pytest.raises(ValidationError):
+        runner.apply_batch(0, 10)
+    assert runner.table.version == v0
+    # no data files appeared under the lake beyond the empty v0 create
+    data_dir = os.path.join(cfg.lake_path, "data")
+    files = []
+    for root, _d, fs in os.walk(data_dir):
+        files += [f for f in fs if f.endswith(".parquet")]
+    assert files == []
+
+
+def test_strict_pre_checks_path_still_replays_equal(spark, workdir, stream):
+    """Audit mode (strict_pre_checks=True) keeps the dedicated pre-pass
+    with per-partition read counters and the lsn-uniqueness soft check,
+    and produces the identical final state."""
+    cfg = make_config(workdir, strict_pre_checks=True)
+    runner = CdcIngestRunner(spark, cfg)
+    summary = runner.run()
+    assert summary["n_batches"] == 4
+    assert_replay_equal(lake_to_pandas(runner), materialize_expected(cfg.events_path))
+    vlog = runner.validator.read_log().toPandas()
+    assert "lsn_unique" in set(vlog["check_name"])
