@@ -72,17 +72,26 @@ class IvfVectorIndex:
         n_bits: int = 4,
         num_buckets: int = 8,
         emb_col: str = "embedding",
+        vec_key: str | None = None,
     ):
+        """``vec_key``: the column that uniquely identifies a vector.
+        Defaults to the base's (single-column) key; pass it explicitly
+        when the base uses a composite key whose one component is a
+        unique vector id."""
         self.spark = spark
         self.path = path
         self.base = base
         self.dim = dim
         self.n_bits = n_bits
         self.emb_col = emb_col
-        key = list(base.key_cols)
-        if len(key) != 1:
-            raise ValueError("IvfVectorIndex expects a single-column base key")
-        self.vec_key = key[0]
+        if vec_key is None:
+            key = list(base.key_cols)
+            if len(key) != 1:
+                raise ValueError(
+                    "IvfVectorIndex needs vec_key= when the base key is composite"
+                )
+            vec_key = key[0]
+        self.vec_key = vec_key
         if LakeTable.exists(path):
             self.table = LakeTable.load(spark, path)
         else:
@@ -91,10 +100,13 @@ class IvfVectorIndex:
             emb_type = next(
                 f.dataType for f in base.schema.fields if f.name == emb_col
             )
+            key_type = next(
+                f.dataType for f in base.schema.fields if f.name == self.vec_key
+            )
             schema = T.StructType(
                 [
                     T.StructField("cell", T.IntegerType(), False),
-                    T.StructField(self.vec_key, T.LongType(), False),
+                    T.StructField(self.vec_key, key_type, False),
                     T.StructField(emb_col, emb_type, True),
                 ]
             )

@@ -57,11 +57,13 @@ def ingest_stream(
     """Run an availableNow streaming ingest over the change log; returns
     a summary once the stream drains.
 
-    ``rollups``: optional ContinuousRollup instances refreshed after
-    every committed epoch — streaming-maintained materialized views:
-    each epoch's MERGE lands, then its change rows fold into the
-    aggregates (refresh is fenced, so a replayed epoch re-folds
-    nothing)."""
+    ``rollups``: optional incrementally-maintained consumers refreshed
+    after every committed epoch — anything with a fenced ``refresh()``
+    fed by the lake's change feed: ContinuousRollup instances
+    (streaming-maintained materialized views) and IvfVectorIndex
+    instances (streaming-maintained ANN indexes) both qualify. Each
+    epoch's MERGE lands, then its change rows fold into the consumer
+    (refresh is fenced, so a replayed epoch re-folds nothing)."""
     src_schema = None
     if config.source_schema_json:
         import json as _json
