@@ -68,8 +68,8 @@ class IvfVectorIndex:
         spark: SparkSession,
         path: str,
         base: LakeTable,
-        dim: int,
-        n_bits: int = 4,
+        dim: int | None = None,
+        n_bits: int | None = None,
         num_buckets: int = 8,
         emb_col: str = "embedding",
         vec_key: str | None = None,
@@ -77,12 +77,23 @@ class IvfVectorIndex:
         """``vec_key``: the column that uniquely identifies a vector.
         Defaults to the base's (single-column) key; pass it explicitly
         when the base uses a composite key whose one component is a
-        unique vector id."""
+        unique vector id.
+
+        Quantizer parameters (``dim``, ``n_bits``) are part of the
+        INDEX's identity, not the caller's: a refresh run with a
+        different n_bits/dim would map preimages to the wrong cells
+        (tombstones miss, vectors duplicate across cells, centroids
+        drift — silently). They are pinned in a ``_ann_meta.json``
+        sidecar at creation; opening an existing index uses the stored
+        values, and an explicitly passed conflicting value is an error.
+        Creating a new index requires ``dim`` (``n_bits`` defaults
+        to 4)."""
+        import json as _json
+        import os
+
         self.spark = spark
         self.path = path
         self.base = base
-        self.dim = dim
-        self.n_bits = n_bits
         self.emb_col = emb_col
         if vec_key is None:
             key = list(base.key_cols)
@@ -92,9 +103,38 @@ class IvfVectorIndex:
                 )
             vec_key = key[0]
         self.vec_key = vec_key
+
+        meta_path = os.path.join(os.path.abspath(path), "_ann_meta.json")
         if LakeTable.exists(path):
             self.table = LakeTable.load(spark, path)
+            if os.path.exists(meta_path):
+                with open(meta_path) as fh:
+                    meta = _json.load(fh)
+                for name, given in [
+                    ("dim", dim),
+                    ("n_bits", n_bits),
+                    ("vec_key", vec_key),
+                    ("emb_col", emb_col),
+                ]:
+                    stored = meta.get(name)
+                    if given is not None and stored is not None and given != stored:
+                        raise ValueError(
+                            f"index at {path} was built with {name}={stored}; "
+                            f"got {name}={given} — refreshing with different "
+                            "quantizer parameters would corrupt the index"
+                        )
+                self.dim = int(meta["dim"])
+                self.n_bits = int(meta["n_bits"])
+            else:  # pre-sidecar index: trust the caller, but require dim
+                if dim is None:
+                    raise ValueError("dim is required for an index without _ann_meta.json")
+                self.dim = int(dim)
+                self.n_bits = int(n_bits if n_bits is not None else 4)
         else:
+            if dim is None:
+                raise ValueError("dim is required to create a new index")
+            self.dim = int(dim)
+            self.n_bits = int(n_bits if n_bits is not None else 4)
             import pyspark.sql.types as T
 
             emb_type = next(
@@ -114,6 +154,17 @@ class IvfVectorIndex:
                 spark, path, schema, key_cols=["cell", self.vec_key],
                 num_buckets=num_buckets,
             )
+            with open(meta_path, "w") as fh:
+                _json.dump(
+                    {
+                        "dim": self.dim,
+                        "n_bits": self.n_bits,
+                        "vec_key": self.vec_key,
+                        "emb_col": emb_col,
+                        "srp_seed": ANN_SRP_SEED,
+                    },
+                    fh,
+                )
         self.centroids = ContinuousRollup(
             spark,
             path.rstrip("/") + "_centroids",
@@ -122,7 +173,7 @@ class IvfVectorIndex:
             agg_exprs=[
                 F.count(F.lit(1)).cast("long").alias("n_vecs"),
                 F.array(
-                    *[F.avg(F.col(emb_col)[d]) for d in range(dim)]
+                    *[F.avg(F.col(emb_col)[d]) for d in range(self.dim)]
                 ).alias("centroid"),
             ],
             num_buckets=4,
@@ -159,11 +210,28 @@ class IvfVectorIndex:
             return {"refreshed": False, "from_version": last, "to_version": cur}
 
         vk, ec = self.vec_key, self.emb_col
+        ch = None
         try:
-            ch = read_changes(self.base, last, cur, include_preimages=True)
+            # the change feed feeds three consumers (latest/ups via the
+            # union AND the anti-join, pre once) — materialize it once,
+            # like the rollup's dirty set, instead of re-deriving the
+            # per-commit diff plans per consumer
+            ch = read_changes(self.base, last, cur, include_preimages=True).persist()
             full_rebuild = False
         except ValueError:
             full_rebuild = True
+        try:
+            return self._refresh_inner(
+                ch, full_rebuild, bm, batch_id, last, cur
+            )
+        finally:
+            if ch is not None:
+                ch.unpersist()
+
+    def _refresh_inner(
+        self, ch, full_rebuild: bool, bm: dict, batch_id: str, last: int, cur: int
+    ) -> dict:
+        vk, ec = self.vec_key, self.emb_col
         if full_rebuild:
             state = self.base.read(manifest=bm).select(
                 self._cell().alias("cell"), F.col(vk), F.col(ec)

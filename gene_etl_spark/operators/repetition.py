@@ -81,14 +81,20 @@ def repetition_signals(
         else F.split(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")), " ")
     )
     n = F.size(toks)
-    bigrams = F.transform(
-        F.sequence(F.lit(1), n - F.lit(1)),
-        lambda i: F.concat(
-            F.element_at(toks, i.cast("int")),
-            F.lit(" "),
-            F.element_at(toks, (i + F.lit(1)).cast("int")),
+    # guard: sequence(1, 0) is DESCENDING [1, 0] and element_at(_, 0)
+    # always throws — a <=1-token document must yield an empty bigram
+    # array, not a stage failure
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(1)),
+            lambda i: F.concat(
+                F.element_at(toks, i.cast("int")),
+                F.lit(" "),
+                F.element_at(toks, (i + F.lit(1)).cast("int")),
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     n_bigrams = F.size(bigrams)
     # most-frequent-bigram count WITHOUT the quadratic distinct×filter
     # scan: sort the bigram array and take the longest equal run — an

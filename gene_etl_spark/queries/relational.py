@@ -665,7 +665,10 @@ def _release_pair_cache() -> None:
 
 
 def q_pairwise_corr(spark, sf_dir):
-    key = (id(spark), sf_dir)
+    # applicationId, not id(spark): CPython recycles object addresses,
+    # so a new session could alias a cache slot holding a DataFrame
+    # bound to a stopped session's dead JVM handle
+    key = (spark.sparkContext.applicationId, sf_dir)
     cached = _PAIR_CACHE.get(key)
     if cached is not None:
         return cached

@@ -1152,7 +1152,17 @@ def q_corpus_pipeline_lsh(spark, sf_dir):
         "lang"
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_packed"),
-        (F.max("bin_fill") <= PACK_WINDOW).cast("long").alias("pack_fill_ok"),
+        # "no NON-oversize bin exceeds the window": oversize docs sit
+        # alone in a flagged bin whose fill legitimately exceeds the
+        # window, so they must not flip the invariant (the oracle states
+        # constant TRUE); all-oversize -> max over empty -> coalesce 1
+        F.coalesce(
+            (
+                F.max(F.when(~F.col("oversize"), F.col("bin_fill")))
+                <= PACK_WINDOW
+            ).cast("long"),
+            F.lit(1).cast("long"),
+        ).alias("pack_fill_ok"),
     )
     stats = kept.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs_kept"),

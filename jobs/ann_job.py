@@ -36,8 +36,17 @@ def main() -> None:
     ap.add_argument("--warehouse", required=True)
     ap.add_argument("--table", default="embeddings", help="base table dir name")
     ap.add_argument("--name", default=None, help="index dir name (default ann_<table>)")
-    ap.add_argument("--dim", type=int, required=True, help="embedding dimension")
-    ap.add_argument("--n-bits", type=int, default=6, help="SRP bits (2^bits cells)")
+    ap.add_argument(
+        "--dim", type=int, default=None,
+        help="embedding dimension (required when CREATING an index; an "
+        "existing index reads it from its _ann_meta.json sidecar)",
+    )
+    ap.add_argument(
+        "--n-bits", type=int, default=None,
+        help="SRP bits, 2^bits cells (create default 4; an existing "
+        "index reads it from its sidecar — passing a conflicting value "
+        "is an error, never a silent re-quantization)",
+    )
     ap.add_argument("--num-buckets", type=int, default=16)
     ap.add_argument("--cores", type=int, default=None, help="local mode only")
     sub = ap.add_subparsers(dest="cmd", required=True)
