@@ -31,7 +31,7 @@ HEADLINE = [
     "bh_fdr",
     "pairwise_corr",
     "dedup_minhash_lsh",  # the scale path; exact all-pairs jaccard is
-    "dedup_exact",        # correctness-gated at sf0.01 but inherently
+    "doc_fingerprint",    # correctness-gated at sf0.01 but inherently
     "simhash_near_pairs",  # quadratic, so not a headline number
     "embedding_topk_pairs",
     "embedding_lsh_pairs",

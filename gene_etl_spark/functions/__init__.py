@@ -47,16 +47,25 @@ def ws_tokens(col: Column | str) -> Column:
 def word_shingles(col: Column | str, k: int = 2) -> Column:
     """Distinct k-word shingles of a text column (array<string>).
 
-    Built from ws_tokens via a transform over token offsets — pure column
-    expressions, no UDF.
+    Built by zipping k shifted slices of the token array — pure column
+    expressions, no UDF. A pure-Column helper cannot bind its token
+    array to a named column, and ``element_at`` over the unbound
+    ws_tokens expression inside a transform lambda would re-tokenize
+    the document once per shingle position (no common-subexpression
+    elimination inside lambdas); ``slice``/``zip_with`` evaluate their
+    collection arguments exactly once per row instead.
     """
     toks = ws_tokens(col)
     n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
-    shingle = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, (i + F.lit(j + 1)).cast("int")) for j in range(k)]
-    )
-    return F.when(n >= k, F.array_distinct(F.transform(idx, shingle))).otherwise(
+    m = n - F.lit(k - 1)  # shingle count when n >= k
+    acc = F.slice(toks, 1, m)
+    for j in range(1, k):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, j + 1, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.when(n >= k, F.array_distinct(acc)).otherwise(
         F.when(n > 0, F.array(F.concat_ws(" ", toks))).otherwise(F.array().cast("array<string>"))
     )
 

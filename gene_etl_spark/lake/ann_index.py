@@ -318,7 +318,10 @@ class IvfVectorIndex:
         for r in rows:
             c = np.asarray(r.centroid, dtype=np.float64)
             n = np.linalg.norm(c)
-            scored.append((float(c @ qn / n) if n > 0 else -1.0, r.cell))
+            # rounded to 5 like every cross-engine cosine in the repo:
+            # probe CHOICE becomes reproducible across engines/archs
+            # (ties break by cell id), not just the final rerank
+            scored.append((round(float(c @ qn / n), 5) if n > 0 else -1.0, r.cell))
         probes = [cell for _s, cell in sorted(scored, key=lambda t: (-t[0], t[1]))[:nprobe]]
         if not probes:
             return (

@@ -1,0 +1,441 @@
+"""CDC-maintained corpus dedup index: incremental deduplication for a
+documents LakeTable, the third leg of the engine's index family
+(ContinuousRollup → aggregates, IvfVectorIndex → vectors, this →
+near-dup sketches).
+
+The corpus-level dedup queries (queries/textops.py) are full-corpus
+passes: fine for a one-shot build, wrong for a CDC-fed corpus where
+each slice touches a sliver of 10^10 documents. ``CorpusDedupIndex``
+keeps two sketch tables current from the base's change feed, so
+deduplicating NEW data against the WHOLE corpus is a probe —
+equi-joins against bucketed index tables — whose cost is ∝ the batch,
+never the corpus:
+
+- **fingerprint table** keyed ``(fp, doc_key)``: md5 of the normalized
+  text — exact-duplicate membership. Bucketed by ``fp``, so a probe
+  batch's fingerprints join against a hash-bucketed table.
+- **band table** keyed ``(band, bucket, doc_key)``: MinHash-LSH band
+  buckets (same shingle→minhash→band constants as the corpus-level
+  ``dedup_minhash_lsh`` query, queries/common.py), bucketed by
+  ``bucket`` — near-duplicate candidates are docs sharing any band
+  bucket, found by one equi-join.
+
+Both sketches are pure functions of a document's OWN text — the same
+row-locality that makes the ANN index's SRP cells exactly maintainable:
+``refresh()`` reads the base's change feed WITH UP preimages, re-sketches
+only the changed docs' old and new text, tombstones every pre-state slot
+not re-asserted, and upserts the post-state slots (LWW over U∪D rows by
+``(_commit_version, _lsn)`` so a key whose final op in the range is a
+delete cannot resurrect through an earlier update). Fencing mirrors the
+rollup/ANN chain (``batch_id = dedup-v{a}-v{b}``, ``end_lsn`` = base
+version, recovered independently per sketch table — a crash between the
+two merges replays only the missing one); a broken feed chain → full
+rebuild, never silent staleness.
+
+At 10^10 docs: refresh cost ∝ change volume (two small grouped sketch
+jobs + two merges over the touched buckets); probe cost ∝ batch ×
+collision density (the same banded-join bound the corpus-level LSH
+relies on). No full-corpus pass anywhere after the initial build.
+
+Reference parity: the reference has no incremental dedup — this is the
+engine extending its CDC machinery over the training-data operator
+family (SURVEY.md §2.11), not a ported feature.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gene_etl_spark.functions import md5_long
+from gene_etl_spark.lake.changes import CHANGE_OP_COL, read_changes
+from gene_etl_spark.lake.table import CommitConflict, LakeTable
+from gene_etl_spark.operators.dedup import lww_dedup_agg
+from gene_etl_spark.queries.common import (
+    BAND_SIZE,
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
+    NUM_HASHES,
+    TOKEN_P,
+)
+
+NUM_BANDS = NUM_HASHES // BAND_SIZE
+
+
+def norm_expr(text_col: str) -> Column:
+    """Whitespace-collapsed lowercase text — identical to the corpus
+    queries' ``docs_norm`` so index sketches and one-shot sketches
+    agree byte-for-byte."""
+    return F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+
+
+def fingerprint_expr(text_col: str) -> Column:
+    return md5_long(norm_expr(text_col))
+
+
+def sketch_docs(df: DataFrame, doc_key: str, text_col: str) -> DataFrame:
+    """(doc_key, fp, n_tokens, band, bucket) — one row per LSH band per
+    distinct (doc, text version), plus exactly one ``band = -1``
+    fingerprint row per version (docs with <2 tokens yield ONLY the
+    fingerprint row, mirroring the corpus-level LSH which never pairs
+    them). The input may carry SEVERAL text versions of the same doc —
+    the preimage path of an edit chain A→B→C — so the minhash aggregate
+    groups by ``(doc_key, fp)``, never ``doc_key`` alone (which would
+    min over the union of both versions' shingles and sketch a text
+    that never existed). One grouped aggregation over distinct
+    shingles; everything else is row-local."""
+    # bind norm → tokens as real columns before the shingle transform
+    # indexes them: element_at inside a lambda gets no common-
+    # subexpression elimination, so the unbound split(regexp(...))
+    # chain would re-run once per shingle position
+    bound = df.select(
+        F.col(doc_key), norm_expr(text_col).alias("_norm")
+    ).select(
+        doc_key,
+        md5_long("_norm").alias("fp"),
+        F.split("_norm", " ").alias("_toks"),
+    )
+    toks = F.col("_toks")
+    n = F.size(toks)
+    sh = F.transform(
+        F.sequence(F.lit(1), n - F.lit(1)),
+        lambda i: F.concat(
+            F.element_at(toks, i.cast("int")),
+            F.lit(" "),
+            F.element_at(toks, (i + F.lit(1)).cast("int")),
+        ),
+    )
+    base = bound.select(
+        F.col(doc_key),
+        "fp",
+        n.cast("long").alias("n_tokens"),
+        F.when(n >= 2, F.array_distinct(sh)).otherwise(
+            F.array().cast("array<string>")
+        ).alias("_sh"),
+    ).distinct()  # same (doc, fp) ⇒ same norm ⇒ identical row
+    hs = F.pmod(md5_long("sh"), F.lit(TOKEN_P))
+    sig = (
+        base.select(doc_key, "fp", F.explode("_sh").alias("sh"))
+        .groupBy(doc_key, "fp")
+        .agg(
+            *[
+                F.min(
+                    F.pmod(
+                        F.lit(MINHASH_A[i]) * hs + F.lit(MINHASH_B[i]),
+                        F.lit(MINHASH_P),
+                    )
+                )
+                .cast("long")
+                .alias(f"mh{i}")
+                for i in range(NUM_HASHES)
+            ]
+        )
+    )
+    bucket_cols = []
+    for band in range(NUM_BANDS):
+        cols = [
+            F.col(f"mh{i}").cast("string")
+            for i in range(band * BAND_SIZE, (band + 1) * BAND_SIZE)
+        ]
+        bucket_cols.append(md5_long(F.concat_ws("_", *cols)))
+    bands = sig.select(
+        doc_key,
+        "fp",
+        F.lit(None).cast("long").alias("n_tokens"),
+        F.posexplode(F.array(*bucket_cols)).alias("band", "bucket"),
+    )
+    fp_rows = base.select(
+        doc_key,
+        "fp",
+        "n_tokens",
+        F.lit(-1).cast("int").alias("band"),
+        F.col("fp").alias("bucket"),
+    )
+    return fp_rows.unionByName(
+        bands.select(doc_key, "fp", "n_tokens", "band", "bucket")
+    )
+
+
+class CorpusDedupIndex:
+    """Two CDC-maintained sketch LakeTables + probe joins.
+
+    ``doc_key`` defaults to the base's (single-column) key; the sketch
+    parameters are pinned in a ``_dedup_meta.json`` sidecar at creation
+    (a refresh under different constants would tombstone the wrong
+    slots), mirroring the ANN index's quantizer pinning."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        base: LakeTable,
+        text_col: str = "text",
+        doc_key: str | None = None,
+        num_buckets: int = 8,
+    ):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self.base = base
+        self.text_col = text_col
+        if doc_key is None:
+            key = list(base.key_cols)
+            if len(key) != 1:
+                raise ValueError(
+                    "CorpusDedupIndex needs doc_key= when the base key is composite"
+                )
+            doc_key = key[0]
+        self.doc_key = doc_key
+
+        meta_path = os.path.join(self.path + "_fp", "_dedup_meta.json")
+        params = {
+            "text_col": text_col,
+            "doc_key": doc_key,
+            "num_hashes": NUM_HASHES,
+            "band_size": BAND_SIZE,
+            "token_p": TOKEN_P,
+            "minhash_p": MINHASH_P,
+        }
+        if LakeTable.exists(self.path):
+            self.bands = LakeTable.load(spark, self.path)
+            self.fps = LakeTable.load(spark, self.path + "_fp")
+            if os.path.exists(meta_path):
+                with open(meta_path) as fh:
+                    stored = json.load(fh)
+                for name, given in params.items():
+                    if stored.get(name) != given:
+                        raise ValueError(
+                            f"index at {path} was built with {name}="
+                            f"{stored.get(name)}; got {given} — refreshing "
+                            "with different sketch parameters would corrupt it"
+                        )
+        else:
+            key_type = next(
+                f.dataType for f in base.schema.fields if f.name == doc_key
+            )
+            band_schema = T.StructType(
+                [
+                    T.StructField("bucket", T.LongType(), False),
+                    T.StructField("band", T.IntegerType(), False),
+                    T.StructField(doc_key, key_type, False),
+                    T.StructField("fp", T.LongType(), True),
+                ]
+            )
+            fp_schema = T.StructType(
+                [
+                    T.StructField("fp", T.LongType(), False),
+                    T.StructField(doc_key, key_type, False),
+                    T.StructField("n_tokens", T.LongType(), True),
+                ]
+            )
+            self.bands = LakeTable.create(
+                spark, self.path, band_schema,
+                key_cols=["bucket", "band", doc_key], num_buckets=num_buckets,
+            )
+            self.fps = LakeTable.create(
+                spark, self.path + "_fp", fp_schema,
+                key_cols=["fp", doc_key], num_buckets=num_buckets,
+            )
+            with open(meta_path, "w") as fh:
+                json.dump(params, fh)
+
+    # ------------------------------------------------------------------ #
+    def last_indexed_version(self) -> int:
+        """Min over both sketch tables — a crash between the two merges
+        re-derives the same range and the completed table skips via its
+        batch fence."""
+        vs = [
+            t.max_committed_end_lsn() for t in (self.bands, self.fps)
+        ]
+        return min(int(v) if v is not None else 0 for v in vs)
+
+    def refresh(self) -> dict:
+        self.base._manifest_cache = None
+        self.bands._manifest_cache = None
+        self.fps._manifest_cache = None
+        bm = self.base.manifest
+        last = self.last_indexed_version()
+        cur = bm["version"]
+        if cur <= last:
+            return {"refreshed": False, "from_version": last, "to_version": last}
+        batch_id = f"dedup-v{last}-v{cur}"
+
+        dk, tc = self.doc_key, self.text_col
+        ch = None
+        try:
+            ch = read_changes(
+                self.base, last, cur, include_preimages=True
+            ).persist()
+            full_rebuild = False
+        except ValueError:
+            full_rebuild = True
+        try:
+            if full_rebuild:
+                state = self.base.read(manifest=bm).select(dk, tc)
+                sk = sketch_docs(state, dk, tc).persist()
+                try:
+                    gone = (
+                        self._union_slots()
+                        .join(
+                            sk.select("bucket", "band", dk),
+                            ["bucket", "band", dk],
+                            "leftanti",
+                        )
+                    )
+                    return self._apply(sk, gone, batch_id, last, cur, True)
+                finally:
+                    sk.unpersist()
+
+            # newest post-state per doc across the range; final-D docs
+            # must not resurrect through an earlier U (LWW over U∪D)
+            post = ch.where(F.col(CHANGE_OP_COL).isin("U", "D")).select(
+                F.col(dk), F.col(tc), F.col(CHANGE_OP_COL),
+                "_commit_version", "_lsn",
+            )
+            latest = lww_dedup_agg(
+                post, key_cols=(dk,), order_cols=("_commit_version", "_lsn")
+            )
+            ups = latest.where(F.col(CHANGE_OP_COL) == "U").select(dk, tc)
+            sk = sketch_docs(ups, dk, tc).persist()
+            try:
+                # EVERY pre-state slot of a changed doc is a tombstone
+                # candidate (updates AND deletes; an edit chain A→B→C
+                # tombstones A's and B's slots)
+                pre = ch.where(F.col(CHANGE_OP_COL) == "UP").select(dk, tc)
+                pre_sk = sketch_docs(pre, dk, tc)
+                # distinct: an edit chain's versions can share slots,
+                # and merge input must be key-unique
+                gone = pre_sk.select("bucket", "band", dk).distinct().join(
+                    sk.select("bucket", "band", dk),
+                    ["bucket", "band", dk],
+                    "leftanti",
+                )
+                return self._apply(sk, gone, batch_id, last, cur, False)
+            finally:
+                sk.unpersist()
+        finally:
+            if ch is not None:
+                ch.unpersist()
+
+    def _union_slots(self) -> DataFrame:
+        """All live slots across both tables in band-row shape (fp rows
+        as band=-1/bucket=fp) — the full-rebuild tombstone candidates."""
+        dk = self.doc_key
+        return self.bands.read().select("bucket", "band", dk).unionByName(
+            self.fps.read().select(
+                F.col("fp").alias("bucket"), F.lit(-1).alias("band"), F.col(dk)
+            )
+        )
+
+    def _apply(
+        self, sk: DataFrame, gone: DataFrame, batch_id: str,
+        last: int, cur: int, full_rebuild: bool,
+    ) -> dict:
+        """Merge upserts + tombstones into both sketch tables. LSN space
+        doubles as a belt-and-suspenders order: tombstones at 2·cur,
+        upserts at 2·cur+1 (both monotone in cur)."""
+        dk = self.doc_key
+        stats: dict[str, int] = {}
+        for table, ups, dels in [
+            (
+                self.bands,
+                sk.where(F.col("band") >= 0).select(
+                    "bucket", "band", dk, "fp", F.lit("U").alias("op")
+                ),
+                gone.where(F.col("band") >= 0).select(
+                    "bucket", "band", dk,
+                    F.lit(None).cast("long").alias("fp"),
+                    F.lit("D").alias("op"),
+                ),
+            ),
+            (
+                self.fps,
+                sk.where(F.col("band") == -1).select(
+                    "fp", dk, "n_tokens", F.lit("U").alias("op")
+                ),
+                gone.where(F.col("band") == -1).select(
+                    F.col("bucket").alias("fp"), dk,
+                    F.lit(None).cast("long").alias("n_tokens"),
+                    F.lit("D").alias("op"),
+                ),
+            ),
+        ]:
+            if batch_id in table.committed_batches():
+                continue
+            updates = (
+                ups.withColumn("lsn", F.lit(2 * cur + 1).cast("long"))
+                .unionByName(
+                    dels.withColumn("lsn", F.lit(2 * cur).cast("long"))
+                )
+                .withColumn("ts", F.lit(None).cast("timestamp"))
+            )
+            try:
+                r = table.merge(
+                    updates, batch_id=batch_id, start_lsn=last, end_lsn=cur
+                )
+            except CommitConflict:
+                if batch_id in table.committed_batches():
+                    continue
+                raise
+            stats[os.path.basename(table.path)] = (
+                r.inserts + r.updates + r.deletes
+            )
+        return {
+            "refreshed": True,
+            "full_rebuild": full_rebuild,
+            "from_version": last,
+            "to_version": cur,
+            "slots_changed": stats,
+        }
+
+    # ------------------------------------------------------------------ #
+    def probe(self, docs: DataFrame, exclude_self: bool = True) -> DataFrame:
+        """Dedup an incoming batch against the WHOLE indexed corpus:
+        returns one row per incoming doc that duplicates an indexed doc —
+        ``(doc_key, match_kind, match_id)`` with ``match_kind`` 'exact'
+        (identical normalized text) or 'near' (any shared LSH band
+        bucket), ``match_id`` the smallest matching indexed doc. Cost:
+        one sketch pass over the batch + two equi-joins against bucketed
+        sketch tables — never a corpus scan. ``exclude_self`` ignores
+        index entries for the probed doc ids themselves (re-probing
+        already-ingested docs)."""
+        dk = self.doc_key
+        sk = sketch_docs(docs, dk, self.text_col)
+        self_guard = (
+            (F.col("i_doc") != F.col(dk)) if exclude_self else F.lit(True)
+        )
+        exact = (
+            sk.where(F.col("band") == -1)
+            .select(dk, "fp")
+            .join(
+                self.fps.read().select(
+                    F.col("fp"), F.col(dk).alias("i_doc")
+                ),
+                "fp",
+            )
+            .where(self_guard)
+            .groupBy(dk)
+            .agg(F.min("i_doc").alias("match_id"))
+            .select(dk, F.lit("exact").alias("match_kind"), "match_id")
+        )
+        near = (
+            sk.where(F.col("band") >= 0)
+            .select(dk, "band", "bucket", "fp")
+            .join(
+                self.bands.read().select(
+                    "band", "bucket",
+                    F.col(dk).alias("i_doc"), F.col("fp").alias("i_fp"),
+                ),
+                ["band", "bucket"],
+            )
+            .where(self_guard & (F.col("i_fp") != F.col("fp")))
+            .groupBy(dk)
+            .agg(F.min("i_doc").alias("match_id"))
+            .join(exact.select(dk), dk, "leftanti")
+            .select(dk, F.lit("near").alias("match_kind"), "match_id")
+        )
+        return exact.unionByName(near)

@@ -35,7 +35,14 @@ def _ngram_hashes(
     """(id, gh): distinct 60-bit hashes of every n-word gram of the
     whitespace-normalized text."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
-    toks = F.split(norm, " ")
+    # bind the token array before indexing it: element_at inside the
+    # gram lambda gets no common-subexpression elimination, so the
+    # unbound split(regexp(...)) chain would be re-evaluated n times
+    # per gram position — O(n · n_tokens · doc_len) per document
+    b = docs.select(
+        F.col(id_col).alias("id"), F.split(norm, " ").alias("_toks")
+    )
+    toks = F.col("_toks")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
         lambda i: F.concat_ws(
@@ -43,11 +50,8 @@ def _ngram_hashes(
         ),
     )
     return (
-        docs.where(F.size(toks) >= n)
-        .select(
-            F.col(id_col).alias("id"),
-            F.explode(F.array_distinct(grams)).alias("gram"),
-        )
+        b.where(F.size(toks) >= n)
+        .select("id", F.explode(F.array_distinct(grams)).alias("gram"))
         .select("id", md5_long("gram").alias("gh"))
     )
 

@@ -315,12 +315,219 @@ FROM (
 """
 
 
+def q_dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-maintained dedup index, value-gated end-to-end (round-4,
+    session 2): build the documents corpus as a LakeTable through THREE
+    engine commits whose churn converges to the parquet state —
+    slice 1 inserts ⅔ of the corpus with ⅓ of it CORRUPTED plus ghost
+    docs, slice 2 inserts the rest and DELETES the ghosts, slice 3
+    re-upserts the corrupted third with its true text (band moves) —
+    refreshing the CorpusDedupIndex (lake/dedup_index.py) after EVERY
+    commit, then probe a derived batch (verbatim copies / token-appended
+    near-dups / reversed-text misses) against the index. The DuckDB
+    oracle restates the probe joins over a FULL re-sketch of the final
+    corpus: N incremental refreshes (with tombstoned ghosts and
+    re-sketched edits) must equal one clean build, and the probe
+    decisions are the deterministic MinHash/fingerprint matches."""
+    import pyspark.sql.types as T
+
+    from gene_etl_spark.lake.dedup_index import CorpusDedupIndex
+    from gene_etl_spark.lake.table import LakeTable
+
+    base = tempfile.mkdtemp(prefix="dedup_index_")
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "lang", "text"
+        )
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("lang", T.StringType(), True),
+                T.StructField("text", T.StringType(), True),
+            ]
+        )
+        table = LakeTable.create(
+            spark, os.path.join(base, "docs"), schema,
+            key_cols=["doc_id"], num_buckets=8,
+        )
+        idx = CorpusDedupIndex(spark, os.path.join(base, "dix"), table)
+
+        def commit(df, bid: str, lsn: int) -> None:
+            table.merge(
+                df.withColumn("lsn", F.lit(lsn).cast("long")).withColumn(
+                    "ts", F.lit(None).cast("timestamp")
+                ),
+                batch_id=bid, start_lsn=lsn - 1, end_lsn=lsn,
+            )
+            idx.refresh()
+
+        m3 = F.pmod(F.col("doc_id"), F.lit(3))
+        ghosts = docs.where(m3 == 0).select(
+            (F.col("doc_id") + 9000000).alias("doc_id"),
+            F.col("lang"),
+            F.concat(F.lit("ghost doc "), F.col("doc_id").cast("string")).alias("text"),
+        )
+        s1 = (
+            docs.where(m3 < 2)
+            .select(
+                "doc_id",
+                "lang",
+                F.when(m3 == 1, F.lit("corrupted placeholder text"))
+                .otherwise(F.col("text"))
+                .alias("text"),
+            )
+            .unionByName(ghosts)
+            .withColumn("op", F.lit("U"))
+        )
+        commit(s1, "s1", 1)
+        s2 = (
+            docs.where(m3 == 2)
+            .select("doc_id", "lang", "text")
+            .withColumn("op", F.lit("U"))
+            .unionByName(
+                ghosts.select(
+                    "doc_id", "lang", F.lit(None).cast("string").alias("text")
+                ).withColumn("op", F.lit("D"))
+            )
+        )
+        commit(s2, "s2", 2)
+        s3 = (
+            docs.where(m3 == 1)
+            .select("doc_id", "lang", "text")
+            .withColumn("op", F.lit("U"))
+        )
+        commit(s3, "s3", 3)
+
+        m5 = F.pmod(F.col("doc_id"), F.lit(5))
+        probe = (
+            docs.where(m5 == 0)
+            .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+            .unionByName(
+                docs.where(m5 == 1).select(
+                    (F.col("doc_id") + 2000000).alias("doc_id"),
+                    F.concat(
+                        F.col("text"), F.lit(" zyx wvu tsr qpo nml")
+                    ).alias("text"),
+                )
+            )
+            .unionByName(
+                docs.where(m5 == 2).select(
+                    (F.col("doc_id") + 3000000).alias("doc_id"),
+                    F.reverse(F.col("text")).alias("text"),
+                )
+            )
+        )
+        out = idx.probe(probe).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "match_kind",
+            F.col("match_id").cast("long").alias("match_id"),
+        )
+        pdf = out.toPandas()
+        return spark.createDataFrame(pdf, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _sql_sketch_cte(src: str, p: str) -> str:
+    """CTE block re-sketching source ``src`` (doc_id, text) with the
+    engine's MinHash constants (queries/common.py): emits ``{p}_fp``
+    (doc_id, fp) and ``{p}_bands`` (doc_id, band, bucket, fp)."""
+    from gene_etl_spark.queries.common import (
+        BAND_SIZE,
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+        NUM_HASHES,
+        TOKEN_P,
+    )
+
+    num_bands = NUM_HASHES // BAND_SIZE
+    hs = f"(('0x' || substr(md5(sh), 1, 15))::BIGINT % {TOKEN_P})"
+    mins = ",\n         ".join(
+        f"MIN(({MINHASH_A[i]} * {hs} + {MINHASH_B[i]}) % {MINHASH_P})::BIGINT AS mh{i}"
+        for i in range(NUM_HASHES)
+    )
+    band_selects = []
+    for band in range(num_bands):
+        concat = " || '_' || ".join(
+            f"mh{i}::VARCHAR" for i in range(band * BAND_SIZE, (band + 1) * BAND_SIZE)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {band} AS band, "
+            f"('0x' || substr(md5({concat}), 1, 15))::BIGINT AS bucket FROM {p}_sig"
+        )
+    return rf"""
+{p}_norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM {src}
+),
+{p}_fp AS (
+  SELECT doc_id, ('0x' || substr(md5(norm), 1, 15))::BIGINT AS fp FROM {p}_norm
+),
+{p}_arr AS (
+  SELECT doc_id, string_split(norm, ' ') AS arr FROM {p}_norm
+),
+{p}_sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(arr)), i -> arr[i] || ' ' || arr[i+1])) AS sh
+  FROM {p}_arr WHERE len(arr) >= 2
+),
+{p}_sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM {p}_sh GROUP BY doc_id
+),
+{p}_bands AS (
+  SELECT b.doc_id, b.band, b.bucket, f.fp
+  FROM ({' UNION ALL '.join(band_selects)}) b
+  JOIN {p}_fp f USING (doc_id)
+)"""
+
+
+SQL_DEDUP_INDEX_PROBE = (
+    "WITH corpus AS (\n"
+    "  SELECT doc_id::BIGINT AS doc_id, text FROM documents\n"
+    "), probe AS (\n"
+    "  SELECT (doc_id + 1000000)::BIGINT AS doc_id, text\n"
+    "  FROM corpus WHERE doc_id % 5 = 0\n"
+    "  UNION ALL\n"
+    "  SELECT (doc_id + 2000000)::BIGINT, text || ' zyx wvu tsr qpo nml'\n"
+    "  FROM corpus WHERE doc_id % 5 = 1\n"
+    "  UNION ALL\n"
+    "  SELECT (doc_id + 3000000)::BIGINT, reverse(text)\n"
+    "  FROM corpus WHERE doc_id % 5 = 2\n"
+    "),"
+    + _sql_sketch_cte("corpus", "c")
+    + ","
+    + _sql_sketch_cte("probe", "p")
+    + """,
+exact AS (
+  SELECT p.doc_id, 'exact' AS match_kind, MIN(c.doc_id)::BIGINT AS match_id
+  FROM p_fp p JOIN c_fp c USING (fp)
+  GROUP BY 1
+),
+near AS (
+  SELECT pb.doc_id, 'near' AS match_kind, MIN(cb.doc_id)::BIGINT AS match_id
+  FROM p_bands pb
+  JOIN c_bands cb ON pb.band = cb.band AND pb.bucket = cb.bucket
+                 AND cb.fp <> pb.fp
+  WHERE pb.doc_id NOT IN (SELECT doc_id FROM exact)
+  GROUP BY 1
+)
+SELECT doc_id, match_kind, match_id FROM exact
+UNION ALL
+SELECT doc_id, match_kind, match_id FROM near
+"""
+)
+
+
 QUERIES = {
     "cdc_replay": q_cdc_replay,
     "cdc_replay_mor": q_cdc_replay_mor,
     "cdc_replay_stream": q_cdc_replay_stream,
     "cdc_changes": q_cdc_changes,
     "rollup_refresh": q_rollup_refresh,
+    "dedup_index_probe": q_dedup_index_probe,
     "lww_dedup_salted": q_lww_dedup_salted,
 }
 
@@ -330,5 +537,6 @@ ORACLES = {
     "cdc_replay_stream": SQL_CDC_REPLAY,
     "cdc_changes": SQL_CDC_CHANGES,
     "rollup_refresh": SQL_ROLLUP_REFRESH,
+    "dedup_index_probe": SQL_DEDUP_INDEX_PROBE,
     "lww_dedup_salted": SQL_LWW_DEDUP_SALTED,
 }

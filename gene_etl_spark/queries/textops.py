@@ -109,8 +109,15 @@ def tokens_col():
 
 
 def doc_shingles(spark, sf_dir) -> DataFrame:
-    """Distinct 2-word shingles per doc (docs with <2 tokens yield none)."""
-    toks = tokens_col()
+    """Distinct 2-word shingles per doc (docs with <2 tokens yield none).
+
+    The token array is bound to a real column before the shingle
+    transform indexes it: element_at inside a lambda gets no
+    common-subexpression elimination, so indexing the raw
+    ``split(norm)`` expression would re-split the document once per
+    shingle — O(n_tokens · doc_len) per doc."""
+    d = docs_norm(spark, sf_dir).withColumn("_toks", tokens_col())
+    toks = F.col("_toks")
     n = F.size(toks)
     sh = F.transform(
         F.sequence(F.lit(1), n - F.lit(1)),
@@ -120,10 +127,8 @@ def doc_shingles(spark, sf_dir) -> DataFrame:
             F.element_at(toks, (i + F.lit(1)).cast("int")),
         ),
     )
-    return (
-        docs_norm(spark, sf_dir)
-        .where(n >= 2)
-        .select("doc_id", F.explode(F.array_distinct(sh)).alias("sh"))
+    return d.where(n >= 2).select(
+        "doc_id", F.explode(F.array_distinct(sh)).alias("sh")
     )
 
 
@@ -147,6 +152,9 @@ shingles AS (
 # key-canonicalized idempotent dedup, etl/persist.py:114-117)
 # --------------------------------------------------------------------- #
 def q_dedup_exact(spark, sf_dir):
+    """Retired registry twin (round-4 merge into `doc_fingerprint`,
+    which now runs this exact hash-aggregate as its first stage); kept
+    as the operator's standalone form."""
     d = docs_norm(spark, sf_dir).withColumn("fingerprint", md5_long("norm"))
     return d.groupBy("fingerprint").agg(
         F.min("doc_id").cast("long").alias("representative_doc"),
@@ -154,36 +162,42 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
-SQL_DEDUP_EXACT = (
-    "WITH "
-    + SQL_DOCS_NORM.strip()
-    + """
-SELECT ('0x' || substr(md5(norm), 1, 15))::BIGINT AS fingerprint,
-       MIN(doc_id)::BIGINT AS representative_doc,
-       COUNT(*)::BIGINT AS n_copies
-FROM docs_norm GROUP BY 1
-"""
-)
-
-
 def q_doc_fingerprint(spark, sf_dir):
+    """Per-doc fingerprints with the exact-dedup aggregate FUSED IN
+    (round-4 registry merge: `dedup_exact` retired as a twin under the
+    50-entry cap — its map-side md5 hash-aggregate is stage one of
+    this plan, and its representative/copy-count values stay gated
+    through the decorated rows). The join-back replaces the round-3
+    global window: the aggregate combines map-side and the join
+    shuffles on the fingerprint — both skew-collapsing at corpus
+    scale, where a window over a hot fingerprint would serialize."""
     d = docs_norm(spark, sf_dir).withColumn("fingerprint", md5_long("norm"))
-    w = Window.partitionBy("fingerprint")
-    return d.select(
-        "doc_id",
-        "fingerprint",
-        F.count(F.lit(1)).over(w).cast("long").alias("n_dupes"),
+    agg = d.groupBy("fingerprint").agg(
+        F.min("doc_id").cast("long").alias("representative_doc"),
+        F.count(F.lit(1)).cast("long").alias("n_dupes"),
+    )
+    return (
+        d.select("doc_id", "fingerprint")
+        .join(agg, "fingerprint")
+        .select("doc_id", "fingerprint", "n_dupes", "representative_doc")
     )
 
 
 SQL_DOC_FINGERPRINT = (
     "WITH "
     + SQL_DOCS_NORM.strip()
-    + """
-SELECT doc_id,
-       ('0x' || substr(md5(norm), 1, 15))::BIGINT AS fingerprint,
-       COUNT(*) OVER (PARTITION BY ('0x' || substr(md5(norm), 1, 15))::BIGINT)::BIGINT AS n_dupes
-FROM docs_norm
+    + """,
+fp AS (
+  SELECT doc_id, ('0x' || substr(md5(norm), 1, 15))::BIGINT AS fingerprint
+  FROM docs_norm
+),
+agg AS (
+  SELECT fingerprint, MIN(doc_id)::BIGINT AS representative_doc,
+         COUNT(*)::BIGINT AS n_dupes
+  FROM fp GROUP BY 1
+)
+SELECT doc_id, fingerprint, n_dupes, representative_doc
+FROM fp JOIN agg USING (fingerprint)
 """
 )
 
@@ -877,63 +891,166 @@ LIMIT {ANN_K}
 IVF_NPROBE = 2
 
 
+ANN_IVF_BITS = 4  # SRP coarse quantizer: 2^4 cells at sandbox scale
+
+
 def q_ann_ivf_multiprobe(spark, sf_dir):
-    """Full IVF shape: the coarse quantizer is COMPUTED (per-cell
-    centroid = elementwise mean), the query ranks cells by
-    query↔centroid cosine and probes the NPROBE nearest, then exact
-    cosine re-ranks inside the probed cells. Centroids are a tiny
-    aggregate (n_cells rows) broadcast to prune the corpus scan — the
-    recall/cost dial a 10^9-vector deployment turns via nprobe.
-    (nprobe=1 is the round-2 `ann_ivf` single-probe entry, retired as a
-    registry twin — this plan with a length-1 probe list is identical.)"""
-    e = _emb(spark, sf_dir).select(
-        "vec_id",
-        "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
-    )
-    cents = e.groupBy("label").agg(
-        F.array(*[F.avg(F.col("emb")[d]) for d in range(EMB_DIM)]).alias("cent")
-    )
-    q = e.orderBy("vec_id").limit(1).select(F.col("emb").alias("qe"))
-    ranked = cents.crossJoin(F.broadcast(q)).select(
-        "label", F.round(_cos(F.col("cent"), F.col("qe")), 5).alias("ccos")
-    )
-    probes = (
-        ranked.orderBy(F.desc("ccos"), F.asc("label")).limit(IVF_NPROBE).select("label")
-    )
-    c = F.round(_cos(F.col("emb"), F.col("qe")), 5)
-    return (
-        e.join(F.broadcast(probes), "label")
-        .crossJoin(F.broadcast(q))
-        .where(F.col("vec_id") != 0)
-        .select("vec_id", "label", c.alias("cosine"))
-        .orderBy(F.desc("cosine"), F.asc("vec_id"))
-        .limit(IVF_K)
-    )
+    """Full IVF shape, now served by the CDC-MAINTAINED vector index
+    (lake/ann_index.py IvfVectorIndex — round-4 item 9, driver-gated
+    here since session 2): the embeddings corpus is built as a
+    LakeTable through three engine commits whose churn converges to
+    the parquet state (⅓ inserted NEGATED then fixed — guaranteed cell
+    moves with tombstones — plus ghost vectors inserted then deleted),
+    the index refreshed incrementally from the change feed after EVERY
+    commit, then searched (centroid-ranked probes over the
+    ContinuousRollup centroid table, bucket-pruned exact rerank). The
+    oracle restates the search over a clean full re-quantization of the
+    final corpus: N incremental refreshes == one rebuild AND the IVF
+    probe/rerank math, in one gate. (nprobe=1 is the round-2 `ann_ivf`
+    single-probe entry, retired as a registry twin.)"""
+    import os
+    import shutil
+    import tempfile
+
+    from gene_etl_spark.lake.ann_index import IvfVectorIndex
+    from gene_etl_spark.lake.table import LakeTable
+
+    base = tempfile.mkdtemp(prefix="ann_ivf_")
+    try:
+        import pyspark.sql.types as T
+
+        raw = _emb(spark, sf_dir).select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+        )
+        schema = T.StructType(
+            [
+                T.StructField("vec_id", T.LongType(), False),
+                T.StructField(
+                    "embedding", T.ArrayType(T.DoubleType()), True
+                ),
+            ]
+        )
+        table = LakeTable.create(
+            spark, os.path.join(base, "emb"), schema,
+            key_cols=["vec_id"], num_buckets=8,
+        )
+        idx = IvfVectorIndex(
+            spark, os.path.join(base, "ann"), table,
+            dim=EMB_DIM, n_bits=ANN_IVF_BITS, num_buckets=8,
+        )
+
+        def commit(df, bid: str, lsn: int) -> None:
+            table.merge(
+                df.withColumn("lsn", F.lit(lsn).cast("long")).withColumn(
+                    "ts", F.lit(None).cast("timestamp")
+                ),
+                batch_id=bid, start_lsn=lsn - 1, end_lsn=lsn,
+            )
+            idx.refresh()
+
+        m3 = F.pmod(F.col("vec_id"), F.lit(3))
+        neg = F.transform("embedding", lambda x: -x)
+        ghosts = raw.where(m3 == 0).select(
+            (F.col("vec_id") + 9000000).alias("vec_id"),
+            neg.alias("embedding"),
+        )
+        commit(
+            raw.where(m3 < 2)
+            .select(
+                "vec_id",
+                F.when(m3 == 1, neg).otherwise(F.col("embedding")).alias(
+                    "embedding"
+                ),
+            )
+            .unionByName(ghosts)
+            .withColumn("op", F.lit("U")),
+            "s1", 1,
+        )
+        commit(
+            raw.where(m3 == 2)
+            .select("vec_id", "embedding")
+            .withColumn("op", F.lit("U"))
+            .unionByName(
+                ghosts.select(
+                    "vec_id",
+                    F.lit(None).cast("array<double>").alias("embedding"),
+                ).withColumn("op", F.lit("D"))
+            ),
+            "s2", 2,
+        )
+        commit(
+            raw.where(m3 == 1)
+            .select("vec_id", "embedding")
+            .withColumn("op", F.lit("U")),
+            "s3", 3,
+        )
+
+        qvec = raw.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+        out = (
+            idx.search(qvec, k=IVF_K + 1, nprobe=IVF_NPROBE)
+            .where(F.col("vec_id") != 0)
+            .orderBy(F.desc("cosine"), F.asc("vec_id"))
+            .limit(IVF_K)
+        )
+        pdf = out.toPandas()
+        return spark.createDataFrame(pdf, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
-SQL_ANN_IVF_MULTIPROBE = f"""
+def _sql_ann_ivf() -> str:
+    """IVF over the SAME SRP quantizer as lake/ann_index.py: cells from
+    sign bits of the seed-1729 hyperplanes (literal-embedded, exact
+    float round-trip), centroids = per-cell elementwise mean, probes =
+    top-nprobe cells by rounded centroid cosine, exact rerank inside."""
+    import numpy as np
+
+    from gene_etl_spark.lake.ann_index import ANN_SRP_SEED
+
+    planes = np.random.RandomState(ANN_SRP_SEED).standard_normal(
+        (ANN_IVF_BITS, EMB_DIM)
+    )
+    bits = []
+    for b in range(ANN_IVF_BITS):
+        arr = "[" + ", ".join(repr(float(v)) for v in planes[b]) + "]"
+        bits.append(
+            f"(CASE WHEN list_dot_product(emb, {arr}) > 0 THEN {1 << b} ELSE 0 END)"
+        )
+    cell = "(" + "\n           + ".join(bits) + ")::INTEGER"
+    return f"""
 WITH e AS (
-  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings
+  SELECT vec_id::BIGINT AS vec_id,
+         list_transform(embedding, x -> x::DOUBLE) AS emb
+  FROM embeddings
 ), q AS (
   SELECT emb AS qe FROM e ORDER BY vec_id LIMIT 1
+), cells AS (
+  SELECT vec_id, emb,
+         {cell} AS cell
+  FROM e
 ), cents AS (
-  SELECT label, list(m ORDER BY i) AS cent FROM (
-    SELECT label, i, AVG(emb[i]) AS m
-    FROM e, range(1, {EMB_DIM + 1}) t(i)
-    GROUP BY label, i
-  ) GROUP BY label
+  SELECT cell, list(m ORDER BY i) AS cent FROM (
+    SELECT cell, i, AVG(emb[i]) AS m
+    FROM cells, range(1, {EMB_DIM + 1}) t(i)
+    GROUP BY cell, i
+  ) GROUP BY cell
 ), probes AS (
-  SELECT label FROM cents, q
-  ORDER BY ROUND(list_cosine_similarity(cent, qe), 5) DESC, label ASC
+  SELECT cell FROM cents, q
+  ORDER BY ROUND(list_cosine_similarity(cent, qe), 5) DESC, cell ASC
   LIMIT {IVF_NPROBE}
 )
-SELECT vec_id, label, ROUND(list_cosine_similarity(emb, qe), 5) AS cosine
-FROM e JOIN probes USING (label), q
+SELECT vec_id, cell, ROUND(list_cosine_similarity(emb, qe), 5) AS cosine
+FROM cells JOIN probes USING (cell), q
 WHERE vec_id != 0
 ORDER BY cosine DESC, vec_id ASC
 LIMIT {IVF_K}
 """
+
+
+SQL_ANN_IVF_MULTIPROBE = _sql_ann_ivf()
 
 
 # --------------------------------------------------------------------- #
@@ -1129,7 +1246,9 @@ def q_corpus_pipeline_lsh(spark, sf_dir):
     # cache boundary pins signal evaluation to the post-exchange stage;
     # at real corpus scale the scan has >> cores splits and fused
     # evaluation is the right plan either way.
-    sig = _persist_sketch(repetition_signals(gated, "text"))
+    sig = _persist_sketch(
+        repetition_signals(gated, "text", tokens_col=F.col("toks"))
+    )
     rep = sig.where(
         (F.col("dup_line_frac") <= 0.30)
         & (F.col("dup_line_char_frac") <= 0.30)
@@ -1254,9 +1373,11 @@ FROM kept GROUP BY 1
 # pair oracles embed the identical sig CTE), `ann_ivf` (nprobe=1
 # degenerate case of `ann_ivf_multiprobe`), and `quality_dedup_pipeline`
 # (superseded by `corpus_pipeline_lsh`, the stronger composite).
+# Round 4: `dedup_exact` merged into `doc_fingerprint` (its hash-agg is
+# that plan's first stage), freeing the slot for the CDC-maintained
+# dedup-index probe entry (queries/cdc.py `dedup_index_probe`).
 QUERIES = {
     "corpus_pipeline_lsh": q_corpus_pipeline_lsh,
-    "dedup_exact": q_dedup_exact,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_winnow": q_doc_winnow,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1273,7 +1394,6 @@ QUERIES = {
 
 ORACLES = {
     "corpus_pipeline_lsh": SQL_CORPUS_PIPELINE_LSH,
-    "dedup_exact": SQL_DEDUP_EXACT,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "doc_winnow": SQL_DOC_WINNOW,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
