@@ -99,3 +99,91 @@ def build_corpus(
     # 6. pack into context windows
     packed = pack_sequences(kept, window, seed=seed)
     return {"packed": packed, "kept": kept, "stats": stats}
+
+
+def ingest_corpus_batch(
+    spark: SparkSession,
+    corpus,
+    idx,
+    batch: DataFrame,
+    *,
+    batch_id: str,
+    lsn: int,
+    min_tokens: int = 30,
+    repetition_filter: bool = True,
+) -> dict:
+    """Incremental corpus construction: the per-batch form of
+    ``build_corpus`` for a CDC-fed corpus, where re-running the batch
+    pipeline over 10^10 accumulated documents per increment is not an
+    option. Stages, all ∝ the batch (never the corpus):
+
+    1. quality + repetition gates — row-local column expressions;
+    2. within-batch exact dedup — lowest doc_id per fingerprint wins;
+    3. within-batch near-dup removal — LSH band self-join over the
+       batch's own sketch, larger id of each colliding pair dropped;
+    4. cross-corpus dedup — ``CorpusDedupIndex.probe``: two equi-joins
+       against the CDC-maintained sketch tables stand in for the full
+       pipeline's corpus-wide LSH pass;
+    5. MERGE survivors into the corpus LakeTable (fenced batch_id);
+    6. ``idx.refresh()`` folds the new commit into the sketch tables,
+       so the NEXT batch's probe sees this batch's documents.
+
+    ``corpus``: a LakeTable keyed (doc_id) with (lang, text) payload;
+    ``idx``: a CorpusDedupIndex over it. Returns per-stage counts
+    (the lineage contract of ``build_corpus``) plus the merge result.
+    """
+    from pyspark.sql import functions as F
+
+    from gene_etl_spark.lake.dedup_index import sketch_docs
+
+    stats: dict[str, int] = {"input": batch.count()}
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    d = batch.withColumn("n_tokens", F.size(F.split(norm, " ")).cast("long"))
+    gated = d.where(F.col("n_tokens") >= min_tokens)
+    if repetition_filter:
+        gated = repetition_gate(gated).drop(
+            "dup_line_frac", "dup_line_char_frac", "top_bigram_share"
+        )
+    stats["gated"] = gated.count()
+
+    sk = sketch_docs(gated, "doc_id", "text").persist()
+    try:
+        # within-batch exact: lowest doc_id per fingerprint
+        fps = sk.where(F.col("band") == -1).select("doc_id", "fp")
+        exact_keep = fps.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+        kept = gated.join(exact_keep.select("doc_id"), "doc_id", "leftsemi")
+
+        # within-batch near: any shared band bucket drops the larger id
+        bands = sk.where(F.col("band") >= 0)
+        near_dupes = (
+            bands.select("band", "bucket", F.col("doc_id").alias("doc_a"),
+                         F.col("fp").alias("fp_a"))
+            .join(
+                bands.select("band", "bucket", F.col("doc_id").alias("doc_b"),
+                             F.col("fp").alias("fp_b")),
+                ["band", "bucket"],
+            )
+            .where((F.col("doc_a") < F.col("doc_b"))
+                   & (F.col("fp_a") != F.col("fp_b")))
+            .select(F.col("doc_b").alias("doc_id"))
+        )
+        kept = kept.join(near_dupes, "doc_id", "leftanti")
+        stats["batch_deduped"] = kept.count()
+
+        # cross-corpus: any probe match (exact or near) drops the doc
+        matches = idx.probe(kept.select("doc_id", "text")).select("doc_id")
+        kept = kept.join(matches, "doc_id", "leftanti")
+        stats["corpus_deduped"] = kept.count()
+
+        result = corpus.merge(
+            kept.select("doc_id", "lang", "text")
+            .withColumn("op", F.lit("U"))
+            .withColumn("lsn", F.lit(lsn).cast("long"))
+            .withColumn("ts", F.lit(None).cast("timestamp")),
+            batch_id=batch_id, start_lsn=lsn - 1, end_lsn=lsn,
+        )
+        idx.refresh()
+        stats["merged"] = result.inserts + result.updates
+        return {"stats": stats, "merge": result}
+    finally:
+        sk.unpersist()
