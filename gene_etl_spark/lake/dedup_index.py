@@ -182,6 +182,7 @@ class CorpusDedupIndex:
         self.path = os.path.abspath(path)
         self.base = base
         self.text_col = text_col
+        self._probe_sketch: DataFrame | None = None
         if doc_key is None:
             key = list(base.key_cols)
             if len(key) != 1:
@@ -393,26 +394,56 @@ class CorpusDedupIndex:
         }
 
     # ------------------------------------------------------------------ #
+    def _pruned_read(self, table: LakeTable, keys: DataFrame) -> DataFrame:
+        """Scan ``table`` pruned to the lake buckets the probe's join
+        keys hash into — the dedup analogue of the ANN search's
+        cell-bucket pruning. Both sketch tables are bucketed BY their
+        join key (band bucket / fingerprint), so a small batch touches
+        only its own slice of a 10^10-slot index instead of scanning it
+        all. The collected set is distinct LAKE-bucket ids (≤
+        num_buckets ints — never the key values themselves); a batch
+        whose keys span every bucket reads the table unpruned, where
+        the shuffle join is the right plan anyway."""
+        kcol = table.key_cols[0]
+        hits = keys.select(table.bucket_expr(kcol).alias("_b")).distinct()
+        buckets = sorted({r._b for r in hits.collect()})
+        if len(buckets) >= table.num_buckets:
+            return table.read()
+        return table.read(buckets=buckets)
+
     def probe(self, docs: DataFrame, exclude_self: bool = True) -> DataFrame:
         """Dedup an incoming batch against the WHOLE indexed corpus:
         returns one row per incoming doc that duplicates an indexed doc —
         ``(doc_key, match_kind, match_id)`` with ``match_kind`` 'exact'
         (identical normalized text) or 'near' (any shared LSH band
         bucket), ``match_id`` the smallest matching indexed doc. Cost:
-        one sketch pass over the batch + two equi-joins against bucketed
-        sketch tables — never a corpus scan. ``exclude_self`` ignores
-        index entries for the probed doc ids themselves (re-probing
-        already-ingested docs)."""
+        one sketch pass over the batch + two equi-joins against
+        BUCKET-PRUNED sketch table scans (see ``_pruned_read``) — never
+        a corpus scan. ``exclude_self`` ignores index entries for the
+        probed doc ids themselves (re-probing already-ingested docs).
+
+        The batch sketch feeds four consumers (bucket discovery + join
+        per table), so it is persisted; the previous probe's sketch is
+        released at the next ``probe`` entry (an already-returned lazy
+        plan simply recomputes if re-materialized later)."""
         dk = self.doc_key
-        sk = sketch_docs(docs, dk, self.text_col)
+        if self._probe_sketch is not None:
+            self._probe_sketch.unpersist()
+        sk = self._probe_sketch = sketch_docs(docs, dk, self.text_col).persist()
         self_guard = (
             (F.col("i_doc") != F.col(dk)) if exclude_self else F.lit(True)
+        )
+        fp_keys = sk.where(F.col("band") == -1).select(
+            F.col("fp").alias(self.fps.key_cols[0])
+        )
+        band_keys = sk.where(F.col("band") >= 0).select(
+            F.col("bucket").alias(self.bands.key_cols[0])
         )
         exact = (
             sk.where(F.col("band") == -1)
             .select(dk, "fp")
             .join(
-                self.fps.read().select(
+                self._pruned_read(self.fps, fp_keys).select(
                     F.col("fp"), F.col(dk).alias("i_doc")
                 ),
                 "fp",
@@ -426,7 +457,7 @@ class CorpusDedupIndex:
             sk.where(F.col("band") >= 0)
             .select(dk, "band", "bucket", "fp")
             .join(
-                self.bands.read().select(
+                self._pruned_read(self.bands, band_keys).select(
                     "band", "bucket",
                     F.col(dk).alias("i_doc"), F.col("fp").alias("i_fp"),
                 ),

@@ -188,6 +188,24 @@ def test_multi_version_preimages_tombstone_all(spark, workdir, base):
     assert _fp_state(idx) == _fp_state(fresh)
 
 
+def test_probe_reads_are_bucket_pruned(spark, workdir, base):
+    """A small probe batch must scan only the lake buckets its sketch
+    values hash into, not the whole index (the ANN cell-pruning
+    analogue)."""
+    _merge(spark, base, [(i, _text(i)) for i in range(30)], lsn0=1)
+    idx = CorpusDedupIndex(spark, os.path.join(workdir, "dix"), base)
+    idx.refresh()
+    probe = spark.createDataFrame([(700, "en", _text(5))], _doc_schema())
+    res = idx.probe(probe)
+    got = {r.doc_id: r.match_kind for r in res.collect()}
+    assert got.get(700) == "exact"
+    files = set(res.inputFiles())
+    all_files = set(idx.bands.read().inputFiles()) | set(
+        idx.fps.read().inputFiles()
+    )
+    assert files and files < all_files
+
+
 def test_param_pinning(spark, workdir, base):
     _merge(spark, base, [(1, _text(1))], lsn0=1)
     CorpusDedupIndex(spark, os.path.join(workdir, "dix"), base).refresh()
