@@ -146,6 +146,32 @@ def test_refresh_idempotent_and_fenced(spark, workdir, base):
     assert idx.table.version == v
 
 
+def test_refresh_spans_base_compaction(spark, workdir, base):
+    """A refresh range including a base compaction commit (no change
+    rows) plus real embedding updates still converges to the rebuild
+    state."""
+    from gene_etl_spark.lake.maintenance import compact
+
+    rng = np.random.default_rng(11)
+    _merge(spark, base, _vecs(rng, 20), lsn0=1)
+    _merge(spark, base, _vecs(rng, 4, start_id=5), lsn0=50)
+    idx = IvfVectorIndex(
+        spark, os.path.join(workdir, "ann"), base, dim=DIM, n_bits=3
+    )
+    idx.refresh()
+    compact(base, max_files_per_bucket=1)
+    _merge(spark, base, _vecs(rng, 3, start_id=0), lsn0=100)
+    _delete(spark, base, [17], lsn0=200)
+    r = idx.refresh()
+    assert r["refreshed"] and not r["full_rebuild"]
+    fresh = IvfVectorIndex(
+        spark, os.path.join(workdir, "ann_fresh"), base, dim=DIM, n_bits=3
+    )
+    fresh.refresh()
+    assert _index_state(idx) == _index_state(fresh)
+    assert _centroid_state(idx) == _centroid_state(fresh)
+
+
 def test_search_probes_are_bucket_pruned(spark, workdir, base):
     """The probed-cell read must scan only the probed cells' buckets."""
     rng = np.random.default_rng(7)

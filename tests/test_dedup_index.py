@@ -206,6 +206,26 @@ def test_probe_reads_are_bucket_pruned(spark, workdir, base):
     assert files and files < all_files
 
 
+def test_refresh_spans_base_compaction(spark, workdir, base):
+    """A refresh range that includes a base compaction commit (which
+    emits no change rows) plus real edits must still converge to the
+    rebuild state — compaction is physical, not logical."""
+    from gene_etl_spark.lake.maintenance import compact
+
+    _merge(spark, base, [(i, _text(i)) for i in range(10)], lsn0=1)
+    _merge(spark, base, [(i, _text(i + 30)) for i in range(3)], lsn0=20)
+    idx = CorpusDedupIndex(spark, os.path.join(workdir, "dix"), base)
+    idx.refresh()
+    compact(base, max_files_per_bucket=1)
+    _merge(spark, base, [(5, _text(70)), (11, _text(11))], lsn0=40)
+    r = idx.refresh()  # spans compaction + edit commits
+    assert r["refreshed"] and not r["full_rebuild"]
+    fresh = CorpusDedupIndex(spark, os.path.join(workdir, "dix_fresh"), base)
+    fresh.refresh()
+    assert _band_state(idx) == _band_state(fresh)
+    assert _fp_state(idx) == _fp_state(fresh)
+
+
 def test_param_pinning(spark, workdir, base):
     _merge(spark, base, [(1, _text(1))], lsn0=1)
     CorpusDedupIndex(spark, os.path.join(workdir, "dix"), base).refresh()
