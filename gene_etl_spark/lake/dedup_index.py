@@ -394,19 +394,31 @@ class CorpusDedupIndex:
         }
 
     # ------------------------------------------------------------------ #
-    def _pruned_read(self, table: LakeTable, keys: DataFrame) -> DataFrame:
-        """Scan ``table`` pruned to the lake buckets the probe's join
-        keys hash into — the dedup analogue of the ANN search's
-        cell-bucket pruning. Both sketch tables are bucketed BY their
-        join key (band bucket / fingerprint), so a small batch touches
-        only its own slice of a 10^10-slot index instead of scanning it
-        all. The collected set is distinct LAKE-bucket ids (≤
-        num_buckets ints — never the key values themselves); a batch
-        whose keys span every bucket reads the table unpruned, where
-        the shuffle join is the right plan anyway."""
-        kcol = table.key_cols[0]
-        hits = keys.select(table.bucket_expr(kcol).alias("_b")).distinct()
-        buckets = sorted({r._b for r in hits.collect()})
+    def _probe_buckets(self, sk: DataFrame) -> tuple[list[int], list[int]]:
+        """Lake buckets the probe sketch hashes into, for BOTH tables in
+        ONE job — the dedup analogue of the ANN search's cell-bucket
+        pruning. Both sketch tables are bucketed BY their join key
+        (band bucket / fingerprint), so a small batch touches only its
+        own slice of a 10^10-slot index instead of scanning it all. The
+        collected set is distinct (table, lake-bucket) pairs — ≤
+        2·num_buckets ints, never the key values themselves."""
+        from gene_etl_spark.functions import bucket_of
+
+        is_fp = F.col("band") == -1
+        hits = sk.select(
+            is_fp.alias("_fp"),
+            F.when(is_fp, bucket_of(F.col("fp"), self.fps.num_buckets))
+            .otherwise(bucket_of(F.col("bucket"), self.bands.num_buckets))
+            .alias("_b"),
+        ).distinct().collect()
+        fp_b = sorted({r._b for r in hits if r._fp})
+        band_b = sorted({r._b for r in hits if not r._fp})
+        return band_b, fp_b
+
+    @staticmethod
+    def _pruned_read(table: LakeTable, buckets: list[int]) -> DataFrame:
+        """A batch whose keys span every bucket reads the table
+        unpruned — the shuffle join is the right plan there anyway."""
         if len(buckets) >= table.num_buckets:
             return table.read()
         return table.read(buckets=buckets)
@@ -433,17 +445,12 @@ class CorpusDedupIndex:
         self_guard = (
             (F.col("i_doc") != F.col(dk)) if exclude_self else F.lit(True)
         )
-        fp_keys = sk.where(F.col("band") == -1).select(
-            F.col("fp").alias(self.fps.key_cols[0])
-        )
-        band_keys = sk.where(F.col("band") >= 0).select(
-            F.col("bucket").alias(self.bands.key_cols[0])
-        )
+        band_buckets, fp_buckets = self._probe_buckets(sk)
         exact = (
             sk.where(F.col("band") == -1)
             .select(dk, "fp")
             .join(
-                self._pruned_read(self.fps, fp_keys).select(
+                self._pruned_read(self.fps, fp_buckets).select(
                     F.col("fp"), F.col(dk).alias("i_doc")
                 ),
                 "fp",
@@ -457,7 +464,7 @@ class CorpusDedupIndex:
             sk.where(F.col("band") >= 0)
             .select(dk, "band", "bucket", "fp")
             .join(
-                self._pruned_read(self.bands, band_keys).select(
+                self._pruned_read(self.bands, band_buckets).select(
                     "band", "bucket",
                     F.col(dk).alias("i_doc"), F.col("fp").alias("i_fp"),
                 ),
