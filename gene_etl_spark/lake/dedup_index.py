@@ -434,6 +434,15 @@ class CorpusDedupIndex:
         a corpus scan. ``exclude_self`` ignores index entries for the
         probed doc ids themselves (re-probing already-ingested docs).
 
+        Skew contract: join fan-out per probe doc is bounded by the
+        slot multiplicity of its fingerprints / band buckets in the
+        INDEX. A corpus maintained through the ingest-dedup flow
+        (pipeline.ingest_corpus_batch) bounds that by construction —
+        exact and near dups are dropped before they are ever indexed,
+        so a viral duplicate contributes one representative, not a
+        million slots. Probing against a NON-deduped corpus inherits
+        the same hot-bucket behavior as any LSH candidate join.
+
         The batch sketch feeds four consumers (bucket discovery + join
         per table), so it is persisted; the previous probe's sketch is
         released at the next ``probe`` entry (an already-returned lazy
@@ -477,3 +486,38 @@ class CorpusDedupIndex:
             .select(dk, F.lit("near").alias("match_kind"), "match_id")
         )
         return exact.unionByName(near)
+
+    def candidate_pairs(self) -> DataFrame:
+        """Corpus-level near-dup candidate pairs straight from the
+        maintained band table — the sketch the one-shot LSH pass
+        (queries/textops.py) would have to recompute is ALREADY here,
+        kept current by CDC. One self-equi-join on (band, bucket);
+        ``(doc_a, doc_b)`` with ``doc_a < doc_b``, exact dups (equal
+        fingerprints) flagged, each pair once; the fingerprint table's
+        self-join rides along so exact dups among band-less (<2-token)
+        docs are not missed."""
+        dk = self.doc_key
+        b = self.bands.read()
+        a = b.select(
+            "band", "bucket", F.col(dk).alias("doc_a"), F.col("fp").alias("fp_a")
+        )
+        c = b.select(
+            "band", "bucket", F.col(dk).alias("doc_b"), F.col("fp").alias("fp_b")
+        )
+        band_pairs = (
+            a.join(c, ["band", "bucket"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", (F.col("fp_a") == F.col("fp_b")).alias("exact"))
+        )
+        f = self.fps.read()
+        fp_pairs = (
+            f.select("fp", F.col(dk).alias("doc_a"))
+            .join(f.select("fp", F.col(dk).alias("doc_b")), "fp")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", F.lit(True).alias("exact"))
+        )
+        return (
+            band_pairs.unionByName(fp_pairs)
+            .groupBy("doc_a", "doc_b")
+            .agg(F.max("exact").alias("exact"))
+        )

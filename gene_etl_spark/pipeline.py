@@ -101,6 +101,63 @@ def build_corpus(
     return {"packed": packed, "kept": kept, "stats": stats}
 
 
+class ConversationDedupChain:
+    """Near-duplicate CONVERSATION detection over a live CDC stream —
+    the engine's layers composed into one incremental DAG:
+
+        binlog → conv lake (MERGE)             [runner / stream]
+               → per-conv document rollup      [ContinuousRollup:
+                                                turns concatenated in
+                                                turn order]
+               → dedup sketch index            [CorpusDedupIndex over
+                                                the ROLLUP's change
+                                                feed — chained CDC,
+                                                like the ANN centroid
+                                                table]
+
+    Each ``refresh()`` folds exactly the conversations the latest lake
+    commits touched: the rollup recomputes only dirty conv groups, and
+    the index re-sketches only the conv documents the rollup rewrote.
+    A turn edit therefore costs two small fenced commits, never a
+    corpus pass. ``candidate_pairs()`` reads near-dup conversation
+    pairs straight off the maintained band table."""
+
+    def __init__(self, spark: SparkSession, conv_table, path: str):
+        from pyspark.sql import functions as F
+
+        from gene_etl_spark.lake.dedup_index import CorpusDedupIndex
+        from gene_etl_spark.lake.rollup import ContinuousRollup
+
+        conv_key = conv_table.key_cols[0]
+        doc_text = F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+                lambda x: x["text"],
+            ),
+            " ",
+        ).alias("text")
+        self.rollup = ContinuousRollup(
+            spark,
+            path.rstrip("/") + "_docs",
+            conv_table,
+            group_cols=[conv_key],
+            agg_exprs=[
+                doc_text,
+                F.count(F.lit(1)).cast("long").alias("n_turns"),
+            ],
+        )
+        self.idx = CorpusDedupIndex(
+            spark, path.rstrip("/") + "_dedup", self.rollup.table,
+            text_col="text",
+        )
+
+    def refresh(self) -> dict:
+        return {"rollup": self.rollup.refresh(), "index": self.idx.refresh()}
+
+    def candidate_pairs(self):
+        return self.idx.candidate_pairs()
+
+
 def ingest_corpus_batch(
     spark: SparkSession,
     corpus,
