@@ -226,6 +226,45 @@ def test_refresh_spans_base_compaction(spark, workdir, base):
     assert _fp_state(idx) == _fp_state(fresh)
 
 
+def test_candidate_pairs_match_lsh_oracle(spark, workdir):
+    """Corpus-level pairs read off the CDC-maintained band table must
+    equal the value-gated one-shot LSH oracle (DuckDB, same constants)
+    over the same corpus — the index IS the sketch, verified
+    cross-engine."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from gene_etl_spark.queries.textops import SQL_DEDUP_MINHASH_LSH
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "text"
+    )
+    tbl = LakeTable.create(
+        spark, os.path.join(workdir, "docs"), _doc_schema(),
+        key_cols=["doc_id"], num_buckets=4,
+    )
+    tbl.merge(
+        docs.withColumn("op", F.lit("U"))
+        .withColumn("lsn", F.lit(1).cast("long"))
+        .withColumn("ts", F.lit(None).cast("timestamp")),
+        batch_id="b1", start_lsn=0, end_lsn=1,
+    )
+    idx = CorpusDedupIndex(spark, os.path.join(workdir, "dix"), tbl)
+    idx.refresh()
+    got = {(r.doc_a, r.doc_b) for r in idx.candidate_pairs().collect()}
+
+    con = duckdb.connect()
+    con.sql(
+        f"create view documents as select * from "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    exp = {(a, b) for a, b in con.sql(SQL_DEDUP_MINHASH_LSH).fetchall()}
+    # band pairs must match exactly; extras can only be fp-identical
+    # (band-less) exact dups, absent in this corpus
+    assert got == exp and len(got) > 0
+
+
 def test_param_pinning(spark, workdir, base):
     _merge(spark, base, [(1, _text(1))], lsn0=1)
     CorpusDedupIndex(spark, os.path.join(workdir, "dix"), base).refresh()
