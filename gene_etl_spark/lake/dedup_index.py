@@ -448,8 +448,7 @@ class CorpusDedupIndex:
         released at the next ``probe`` entry (an already-returned lazy
         plan simply recomputes if re-materialized later)."""
         dk = self.doc_key
-        if self._probe_sketch is not None:
-            self._probe_sketch.unpersist()
+        self.release()
         sk = self._probe_sketch = sketch_docs(docs, dk, self.text_col).persist()
         self_guard = (
             (F.col("i_doc") != F.col(dk)) if exclude_self else F.lit(True)
@@ -487,6 +486,16 @@ class CorpusDedupIndex:
         )
         return exact.unionByName(near)
 
+    def release(self) -> None:
+        """Unpersist the last probe's cached sketch. Long-lived callers
+        (the gated query battery, the incremental ingest loop) call
+        this when done with a probe's results so the cache stays
+        bounded (CLAUDE.md's sketch-cache discipline); the next
+        ``probe`` also releases at entry."""
+        if self._probe_sketch is not None:
+            self._probe_sketch.unpersist()
+            self._probe_sketch = None
+
     def candidate_pairs(self) -> DataFrame:
         """Corpus-level near-dup candidate pairs straight from the
         maintained band table — the sketch the one-shot LSH pass
@@ -509,7 +518,11 @@ class CorpusDedupIndex:
             .where(F.col("doc_a") < F.col("doc_b"))
             .select("doc_a", "doc_b", (F.col("fp_a") == F.col("fp_b")).alias("exact"))
         )
-        f = self.fps.read()
+        # only band-less docs (<2 tokens) need the fingerprint join —
+        # equal normalized text implies equal token count, so every
+        # exact pair among banded docs already collides on ALL bands;
+        # an unrestricted fp self-join would re-derive those corpus-wide
+        f = self.fps.read().where(F.col("n_tokens") < 2)
         fp_pairs = (
             f.select("fp", F.col(dk).alias("doc_a"))
             .join(f.select("fp", F.col(dk).alias("doc_b")), "fp")

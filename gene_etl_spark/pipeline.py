@@ -191,19 +191,27 @@ def ingest_corpus_batch(
     """
     from pyspark.sql import functions as F
 
-    from gene_etl_spark.lake.dedup_index import sketch_docs
+    from gene_etl_spark.lake.dedup_index import norm_expr, sketch_docs
 
     stats: dict[str, int] = {"input": batch.count()}
-    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
-    d = batch.withColumn("n_tokens", F.size(F.split(norm, " ")).cast("long"))
+    # norm_expr, not a re-declared twin: the token gate must count
+    # tokens of the SAME normalization the index fingerprints/bands use
+    d = batch.withColumn(
+        "n_tokens", F.size(F.split(norm_expr("text"), " ")).cast("long")
+    )
     gated = d.where(F.col("n_tokens") >= min_tokens)
     if repetition_filter:
         gated = repetition_gate(gated).drop(
             "dup_line_frac", "dup_line_char_frac", "top_bigram_share"
         )
+    # `gated` feeds its count, the sketch pass, and the dedup joins;
+    # `kept` (below) feeds a count and the merge — persist both so the
+    # gate chain and the index-probe joins run once, not per consumer
+    gated = gated.persist()
     stats["gated"] = gated.count()
 
     sk = sketch_docs(gated, "doc_id", "text").persist()
+    kept_cache = None
     try:
         # within-batch exact: lowest doc_id per fingerprint
         fps = sk.where(F.col("band") == -1).select("doc_id", "fp")
@@ -229,7 +237,7 @@ def ingest_corpus_batch(
 
         # cross-corpus: any probe match (exact or near) drops the doc
         matches = idx.probe(kept.select("doc_id", "text")).select("doc_id")
-        kept = kept.join(matches, "doc_id", "leftanti")
+        kept = kept_cache = kept.join(matches, "doc_id", "leftanti").persist()
         stats["corpus_deduped"] = kept.count()
 
         result = corpus.merge(
@@ -244,3 +252,7 @@ def ingest_corpus_batch(
         return {"stats": stats, "merge": result}
     finally:
         sk.unpersist()
+        gated.unpersist()
+        idx.release()
+        if kept_cache is not None:
+            kept_cache.unpersist()

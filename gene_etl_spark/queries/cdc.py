@@ -423,6 +423,9 @@ def q_dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("match_id").cast("long").alias("match_id"),
         )
         pdf = out.toPandas()
+        # release the probe's cached sketch: this battery runs 49 more
+        # queries in the same session (CLAUDE.md sketch-cache rule)
+        idx.release()
         return spark.createDataFrame(pdf, out.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)

@@ -48,7 +48,13 @@ def corpus_stream(
     def handle(df, epoch_id: int) -> None:
         batch_id = f"corpus-{ckpt_fp}-epoch-{epoch_id}"
         if batch_id in corpus.committed_batches():
-            return  # fenced: epoch replayed after a crash
+            # fenced: epoch replayed after a crash. The crash may have
+            # landed BETWEEN the corpus merge and the index fold — fold
+            # any pending corpus commits now (no-op when current) so
+            # the next epoch never probes a stale index and re-admits
+            # documents this epoch already committed.
+            idx.refresh()
+            return
         if not df.head(1):
             return
         corpus._manifest_cache = None
@@ -71,5 +77,7 @@ def corpus_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec) and q.isActive:
+        q.stop()  # never leave a detached query mutating corpus/idx
+    idx.release()
     return {"epochs": stats}

@@ -72,6 +72,7 @@ def main() -> None:
         else:
             rows = decisions.collect()
             print(json.dumps([r.asDict() for r in rows]))
+        idx.release()
 
 
 if __name__ == "__main__":
