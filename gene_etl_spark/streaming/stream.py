@@ -60,10 +60,13 @@ def ingest_stream(
     ``rollups``: optional incrementally-maintained consumers refreshed
     after every committed epoch — anything with a fenced ``refresh()``
     fed by the lake's change feed: ContinuousRollup instances
-    (streaming-maintained materialized views) and IvfVectorIndex
-    instances (streaming-maintained ANN indexes) both qualify. Each
-    epoch's MERGE lands, then its change rows fold into the consumer
-    (refresh is fenced, so a replayed epoch re-folds nothing)."""
+    (streaming-maintained materialized views), IvfVectorIndex
+    (streaming-maintained ANN), CorpusDedupIndex (streaming-maintained
+    dedup sketches), and multi-stage chains like
+    pipeline.ConversationDedupChain (conv lake → document rollup →
+    dedup index, each leg fenced) all qualify. Each epoch's MERGE
+    lands, then its change rows fold into the consumer (refresh is
+    fenced, so a replayed epoch re-folds nothing)."""
     src_schema = None
     if config.source_schema_json:
         import json as _json
