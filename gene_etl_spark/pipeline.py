@@ -192,7 +192,17 @@ def ingest_corpus_batch(
     from pyspark.sql import functions as F
 
     from gene_etl_spark.lake.dedup_index import norm_expr, sketch_docs
+    from gene_etl_spark.lake.table import CommitConflict
 
+    # the lake only guards batch ids against CONCURRENT commits; a
+    # sequential replay of an applied batch must be fenced here, like
+    # the ingest runner fences its slices (callers wanting
+    # skip-semantics check committed_batches first — streaming/corpus
+    # does)
+    if batch_id in corpus.committed_batches():
+        raise CommitConflict(
+            f"batch {batch_id!r} already committed to {corpus.path}"
+        )
     stats: dict[str, int] = {"input": batch.count()}
     # norm_expr, not a re-declared twin: the token gate must count
     # tokens of the SAME normalization the index fingerprints/bands use

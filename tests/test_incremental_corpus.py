@@ -95,3 +95,15 @@ def test_two_batch_ingest_and_index_consistency(spark, workdir, corpus):
     }
     assert live(idx.bands) == live(fresh.bands)
     assert live(idx.fps) == live(fresh.fps)
+
+    # replaying an already-committed batch id refuses rather than
+    # double-applying (callers that need skip-semantics fence first,
+    # as streaming/corpus.py does)
+    from gene_etl_spark.lake.table import CommitConflict
+
+    corpus._manifest_cache = None
+    v = corpus.version
+    with pytest.raises(CommitConflict):
+        ingest_corpus_batch(spark, corpus, idx, b2, batch_id="b2", lsn=3)
+    corpus._manifest_cache = None
+    assert corpus.version == v
