@@ -168,6 +168,10 @@ def ingest_corpus_batch(
     lsn: int,
     min_tokens: int = 30,
     repetition_filter: bool = True,
+    eval_set: DataFrame | None = None,
+    lang_fractions: dict[str, float] | None = None,
+    default_fraction: float = 1.0,
+    seed: int = 0,
 ) -> dict:
     """Incremental corpus construction: the per-batch form of
     ``build_corpus`` for a CDC-fed corpus, where re-running the batch
@@ -181,13 +185,20 @@ def ingest_corpus_batch(
     4. cross-corpus dedup — ``CorpusDedupIndex.probe``: two equi-joins
        against the CDC-maintained sketch tables stand in for the full
        pipeline's corpus-wide LSH pass;
-    5. MERGE survivors into the corpus LakeTable (fenced batch_id);
-    6. ``idx.refresh()`` folds the new commit into the sketch tables,
+    5. optional decontamination vs ``eval_set`` (broadcast n-gram
+       leakage check — the eval set is small at any corpus scale) and
+       stratified language mixing (``lang_fractions``, row-local
+       key-hash gates) — full ``build_corpus`` stage parity;
+    6. MERGE survivors into the corpus LakeTable (fenced batch_id);
+    7. ``idx.refresh()`` folds the new commit into the sketch tables,
        so the NEXT batch's probe sees this batch's documents.
 
     ``corpus``: a LakeTable keyed (doc_id) with (lang, text) payload;
-    ``idx``: a CorpusDedupIndex over it. Returns per-stage counts
-    (the lineage contract of ``build_corpus``) plus the merge result.
+    ``idx``: a CorpusDedupIndex over it. Returns stage counts plus the
+    merge result; ``stats["corpus_deduped"]`` counts the batch AFTER
+    cross-corpus dedup and the optional decontamination/mixing stages
+    (one action per batch — the full per-stage funnel is
+    ``build_corpus``'s lineage contract, not the hot ingest path's).
     """
     from pyspark.sql import functions as F
 
@@ -247,7 +258,15 @@ def ingest_corpus_batch(
 
         # cross-corpus: any probe match (exact or near) drops the doc
         matches = idx.probe(kept.select("doc_id", "text")).select("doc_id")
-        kept = kept_cache = kept.join(matches, "doc_id", "leftanti").persist()
+        kept = kept.join(matches, "doc_id", "leftanti")
+        if eval_set is not None:
+            kept = decontaminate(kept, eval_set)
+        if lang_fractions is not None:
+            kept = stratified_sample(
+                kept, "lang", lang_fractions, "doc_id", seed=seed,
+                default=default_fraction,
+            )
+        kept = kept_cache = kept.persist()
         stats["corpus_deduped"] = kept.count()
 
         result = corpus.merge(

@@ -96,6 +96,23 @@ def test_two_batch_ingest_and_index_consistency(spark, workdir, corpus):
     assert live(idx.bands) == live(fresh.bands)
     assert live(idx.fps) == live(fresh.fps)
 
+    # full build_corpus stage parity: a third batch with an eval-set
+    # leak and a lang cut exercises decontamination + mixing inline
+    b3 = spark.createDataFrame(
+        [(300, "en", _text(60)), (301, "fr", _text(61)), (302, "en", _text(62))],
+        _doc_schema(),
+    )
+    eval_set = spark.createDataFrame(
+        [(9000, "en", _text(60))], _doc_schema()  # verbatim leak of 300
+    ).select("doc_id", "text")
+    r3 = ingest_corpus_batch(
+        spark, corpus, idx, b3, batch_id="b3", lsn=3,
+        eval_set=eval_set, lang_fractions={"fr": 0.0},
+    )
+    assert r3["stats"]["corpus_deduped"] == 1  # 300 leaked, 301 mixed out
+    ids3 = {r.doc_id for r in corpus.read().select("doc_id").collect()}
+    assert ids3 == ids | {302}
+
     # replaying an already-committed batch id refuses rather than
     # double-applying (callers that need skip-semantics fence first,
     # as streaming/corpus.py does)
