@@ -35,6 +35,10 @@ def corpus_stream(
     max_files_per_trigger: int | None = None,
     min_tokens: int = 30,
     repetition_filter: bool = True,
+    eval_set=None,
+    lang_fractions: dict[str, float] | None = None,
+    default_fraction: float = 1.0,
+    seed: int = 0,
     timeout_sec: float = 600.0,
 ) -> dict:
     """availableNow drain of ``docs_path`` (parquet files of
@@ -64,6 +68,10 @@ def corpus_stream(
             lsn=corpus.version + 1,
             min_tokens=min_tokens,
             repetition_filter=repetition_filter,
+            eval_set=eval_set,
+            lang_fractions=lang_fractions,
+            default_fraction=default_fraction,
+            seed=seed,
         )
         stats[int(epoch_id)] = r["stats"]
 
