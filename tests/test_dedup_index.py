@@ -265,6 +265,29 @@ def test_candidate_pairs_match_lsh_oracle(spark, workdir):
     assert got == exp and len(got) > 0
 
 
+def test_refresh_survives_own_table_compaction(spark, workdir, base):
+    """The sketch tables are ordinary LakeTables: compacting THEM
+    between refreshes (folding their accumulated per-refresh commits)
+    must not disturb subsequent incremental maintenance."""
+    from gene_etl_spark.lake.maintenance import compact
+
+    _merge(spark, base, [(i, _text(i)) for i in range(8)], lsn0=1)
+    idx = CorpusDedupIndex(spark, os.path.join(workdir, "dix"), base)
+    idx.refresh()
+    _merge(spark, base, [(i, _text(i + 20)) for i in range(2)], lsn0=30)
+    idx.refresh()
+    compact(idx.bands, max_files_per_bucket=1)
+    compact(idx.fps, max_files_per_bucket=1)
+    _merge(spark, base, [(3, _text(50)), (9, _text(9))], lsn0=60)
+    _merge(spark, base, [(6, "")], lsn0=80, op="D")
+    r = idx.refresh()
+    assert r["refreshed"] and not r["full_rebuild"]
+    fresh = CorpusDedupIndex(spark, os.path.join(workdir, "dix_fresh"), base)
+    fresh.refresh()
+    assert _band_state(idx) == _band_state(fresh)
+    assert _fp_state(idx) == _fp_state(fresh)
+
+
 def test_param_pinning(spark, workdir, base):
     _merge(spark, base, [(1, _text(1))], lsn0=1)
     CorpusDedupIndex(spark, os.path.join(workdir, "dix"), base).refresh()
