@@ -36,6 +36,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gene_etl_spark.functions import cosine_sim
 from gene_etl_spark.lake.changes import CHANGE_OP_COL, read_changes
 from gene_etl_spark.lake.rollup import ContinuousRollup
 from gene_etl_spark.lake.table import LakeTable
@@ -307,6 +308,81 @@ class IvfVectorIndex:
         }
 
     # ------------------------------------------------------------------ #
+    def search_many(
+        self, queries: DataFrame, k: int = 10, nprobe: int = 2,
+        query_key: str = "query_id", query_col: str = "embedding",
+    ) -> DataFrame:
+        """Batch ANN: top-``k`` per query for a whole DataFrame of
+        query vectors, with NO per-query driver loop — the bulk
+        retrieval shape (dedup a candidate set, kNN features, eval
+        retrieval) at 10^6 queries. Fully distributed:
+
+        1. queries ⨯ broadcast(centroids) → per-(query, cell) rounded
+           cosine; a window keeps each query's top-``nprobe`` cells;
+        2. the probed (cell, query) pairs equi-join the assignment
+           table on ``cell`` — the scan is pruned to the UNION of
+           probed cells' lake buckets (≤ num_buckets ints collected);
+        3. exact cosine re-rank per query (window top-k with
+           deterministic tiebreak).
+
+        Returns (query_key, vec_key, cell, cosine, rank). Per-query
+        results equal ``search`` (rounded probe scores, same
+        tiebreaks) — test-pinned."""
+        from pyspark.sql import Window
+
+        qk, qc, vk, ec = query_key, query_col, self.vec_key, self.emb_col
+        cents = self.centroids.read().select(
+            "cell", F.col("centroid").alias("_cent")
+        )
+        probe_w = Window.partitionBy(qk).orderBy(
+            F.desc("_ccos"), F.asc("cell")
+        )
+        probes = (
+            # the query vector rides under a private name: the join
+            # against the assignment table would otherwise collide
+            # with the index's own embedding column
+            queries.select(qk, F.col(qc).alias("_q_emb"))
+            .crossJoin(F.broadcast(cents))
+            .select(
+                qk,
+                "_q_emb",
+                "cell",
+                F.round(cosine_sim(F.col("_q_emb"), F.col("_cent")), 5).alias(
+                    "_ccos"
+                ),
+            )
+            .withColumn("_pr", F.row_number().over(probe_w))
+            .where(F.col("_pr") <= nprobe)
+            .select(qk, "_q_emb", "cell")
+        )
+        cells = [
+            r.cell for r in probes.select("cell").distinct().collect()
+        ]
+        buckets = sorted(
+            {
+                r.b
+                for r in self.spark.createDataFrame(
+                    [(c,) for c in cells] or [(None,)], "cell int"
+                ).select(self.table.bucket_expr("cell").alias("b")).collect()
+                if r.b is not None
+            }
+        )
+        scan = (
+            self.table.read(buckets=buckets)
+            if cells and len(buckets) < self.table.num_buckets
+            else self.table.read()
+        )
+        cos = F.round(cosine_sim(F.col("_q_emb"), F.col(ec)), 5)
+        rank_w = Window.partitionBy(qk).orderBy(
+            F.desc("cosine"), F.asc(vk)
+        )
+        return (
+            probes.join(scan, "cell")
+            .select(qk, vk, "cell", cos.alias("cosine"))
+            .withColumn("rank", F.row_number().over(rank_w))
+            .where(F.col("rank") <= k)
+        )
+
     def search(self, query_vec, k: int = 10, nprobe: int = 2) -> DataFrame:
         """Rank cells by query↔centroid cosine (≤2^n_bits rows collected
         — the IVF coarse pass), then exact cosine re-rank inside the

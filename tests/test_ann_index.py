@@ -172,6 +172,41 @@ def test_refresh_spans_base_compaction(spark, workdir, base):
     assert _centroid_state(idx) == _centroid_state(fresh)
 
 
+def test_search_many_matches_per_query_search(spark, workdir, base):
+    """Batch ANN (search_many) returns the same top-k per query as the
+    single-vector search — same probes, same rounded cosines, same
+    tiebreaks — with no per-query driver loop."""
+    import pyspark.sql.types as T
+
+    rng = np.random.default_rng(13)
+    _merge(spark, base, _vecs(rng, 35), lsn0=1)
+    idx = IvfVectorIndex(
+        spark, os.path.join(workdir, "ann"), base, dim=DIM, n_bits=3
+    )
+    idx.refresh()
+    qs = [[float(x) for x in rng.standard_normal(DIM)] for _ in range(4)]
+    qdf = spark.createDataFrame(
+        [(i, q) for i, q in enumerate(qs)],
+        T.StructType(
+            [
+                T.StructField("query_id", T.LongType(), False),
+                T.StructField("embedding", T.ArrayType(T.DoubleType()), False),
+            ]
+        ),
+    )
+    batch = {
+        (r.query_id, r.rank): (r.vec_id, r.cell, r.cosine)
+        for r in idx.search_many(qdf, k=5, nprobe=2).collect()
+    }
+    for i, q in enumerate(qs):
+        single = [
+            (r.vec_id, r.cell, r.cosine)
+            for r in idx.search(q, k=5, nprobe=2).collect()
+        ]
+        got = [batch[(i, rank)] for rank in range(1, len(single) + 1)]
+        assert got == single
+
+
 def test_search_probes_are_bucket_pruned(spark, workdir, base):
     """The probed-cell read must scan only the probed cells' buckets."""
     rng = np.random.default_rng(7)
