@@ -38,6 +38,7 @@ def build_corpus(
     eval_set: DataFrame | None = None,
     min_tokens: int = 30,
     repetition_filter: bool = True,
+    near_dedup: str = "pairs",
     lang_fractions: dict[str, float] | None = None,
     default_fraction: float = 1.0,
     window: int = 512,
@@ -45,7 +46,17 @@ def build_corpus(
 ) -> dict:
     """Returns {"packed": DataFrame(bin_id, doc_id, n_tokens, bin_fill,
     oversize), "kept": DataFrame(doc_id, lang, text, n_tokens),
-    "stats": {stage: doc_count}}."""
+    "stats": {stage: doc_count}}.
+
+    ``near_dedup``: 'pairs' drops the larger id of every LSH candidate
+    pair (keeps every LOCAL minimum — for pairs (A,C),(B,C) both A and
+    B survive although A~C~B chains them); 'clusters' runs connected
+    components over the pair graph and keeps exactly one representative
+    per duplicate cluster (operators/clusters.py) — the transitive
+    semantics, a few extra distributed label-propagation rounds.
+    The cluster representative (min id) always survives the exact-dedup
+    stage: exact dedup keeps the lowest id per fingerprint, and an
+    exact twin with a lower id would itself be in the cluster."""
     d = docs_norm(spark, sf_dir).withColumn(
         "n_tokens", F.size(tokens_col()).cast("long")
     )
@@ -74,11 +85,19 @@ def build_corpus(
     )
     stats["exact_deduped"] = deduped.count()
 
-    # 3. near-dup removal: drop the larger id of every LSH candidate pair
-    near = q_dedup_minhash_lsh(spark, sf_dir).select(
-        F.col("doc_b").alias("doc_id")
-    )
-    kept = deduped.join(near, "doc_id", "leftanti")
+    # 3. near-dup removal over the LSH candidate pairs
+    pairs = q_dedup_minhash_lsh(spark, sf_dir)
+    if near_dedup == "clusters":
+        from gene_etl_spark.operators.clusters import duplicate_representatives
+
+        drop = (
+            duplicate_representatives(pairs)
+            .where(~F.col("is_representative"))
+            .select(F.col("node").alias("doc_id"))
+        )
+    else:
+        drop = pairs.select(F.col("doc_b").alias("doc_id"))
+    kept = deduped.join(drop, "doc_id", "leftanti")
     stats["near_deduped"] = kept.count()
 
     # 4. decontamination vs the eval set (verbatim n-gram leakage)

@@ -78,3 +78,16 @@ def test_build_corpus_decontamination_bites(spark):
     kept_ids = {r.doc_id for r in out["kept"].select("doc_id").collect()}
     assert victim.doc_id not in kept_ids
     assert out["stats"]["decontaminated"] < out["stats"]["near_deduped"]
+
+
+def test_build_corpus_cluster_dedup_is_transitive_superset(spark):
+    """near_dedup='clusters' (connected components over the LSH pair
+    graph) drops at least everything the pairwise rule drops: every
+    pair's larger id has a smaller neighbor, so it can never be its
+    component's representative."""
+    pairs_out = build_corpus(spark, SF_DIR, window=128)
+    clus_out = build_corpus(spark, SF_DIR, near_dedup="clusters", window=128)
+    kept_pairs = {r.doc_id for r in pairs_out["kept"].select("doc_id").collect()}
+    kept_clus = {r.doc_id for r in clus_out["kept"].select("doc_id").collect()}
+    assert kept_clus <= kept_pairs
+    assert clus_out["stats"]["near_deduped"] <= pairs_out["stats"]["near_deduped"]
