@@ -36,7 +36,6 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gene_etl_spark.functions import cosine_sim
 from gene_etl_spark.lake.changes import CHANGE_OP_COL, read_changes
 from gene_etl_spark.lake.rollup import ContinuousRollup
 from gene_etl_spark.lake.table import LakeTable
@@ -327,7 +326,14 @@ class IvfVectorIndex:
 
         Returns (query_key, vec_key, cell, cosine, rank). Per-query
         results equal ``search`` (rounded probe scores, same
-        tiebreaks) — test-pinned."""
+        tiebreaks) — test-pinned, INCLUDING degenerate vectors: the
+        query is pre-normalized with a norm-or-1 fallback (zero query →
+        all scores 0.0, ties break by cell/vec id, like ``search``'s
+        ``qn`` fallback), and a zero-norm centroid or index vector
+        scores ``-1.0`` via ``nanvl`` instead of NaN — Spark sorts NaN
+        ABOVE all doubles under desc(), so an unguarded 0/0 would probe
+        a degenerate cell FIRST and let dead vectors outrank real
+        ones."""
         from pyspark.sql import Window
 
         qk, qc, vk, ec = query_key, query_col, self.vec_key, self.emb_col
@@ -337,19 +343,55 @@ class IvfVectorIndex:
         probe_w = Window.partitionBy(qk).orderBy(
             F.desc("_ccos"), F.asc("cell")
         )
+
+        def _dot(a: Column, b: Column) -> Column:
+            return F.aggregate(
+                F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+
+        def _norm(a: Column) -> Column:
+            return F.sqrt(
+                F.aggregate(
+                    a, F.lit(0.0), lambda acc, x: acc + (x * x).cast("double")
+                )
+            )
+
+        qn = F.col("_q_norm")
         probes = (
             # the query vector rides under a private name: the join
             # against the assignment table would otherwise collide
-            # with the index's own embedding column
-            queries.select(qk, F.col(qc).alias("_q_emb"))
+            # with the index's own embedding column. Normalized ONCE
+            # here (norm-or-1, like search's qn) so downstream scores
+            # are dot / other-side-norm.
+            queries.select(qk, F.col(qc).alias("_q_raw"))
+            .withColumn("_qn0", _norm(F.col("_q_raw")))
+            .withColumn(
+                "_q_norm",
+                F.when(F.col("_qn0") > 0, F.col("_qn0")).otherwise(F.lit(1.0)),
+            )
+            .select(
+                qk,
+                F.transform(F.col("_q_raw"), lambda x: x.cast("double") / qn)
+                .alias("_q_emb"),
+            )
             .crossJoin(F.broadcast(cents))
             .select(
                 qk,
                 "_q_emb",
                 "cell",
-                F.round(cosine_sim(F.col("_q_emb"), F.col("_cent")), 5).alias(
-                    "_ccos"
-                ),
+                F.coalesce(
+                    F.nanvl(
+                        F.round(
+                            _dot(F.col("_q_emb"), F.col("_cent"))
+                            / _norm(F.col("_cent")),
+                            5,
+                        ),
+                        F.lit(-1.0),
+                    ),
+                    F.lit(-1.0),
+                ).alias("_ccos"),
             )
             .withColumn("_pr", F.row_number().over(probe_w))
             .where(F.col("_pr") <= nprobe)
@@ -372,7 +414,16 @@ class IvfVectorIndex:
             if cells and len(buckets) < self.table.num_buckets
             else self.table.read()
         )
-        cos = F.round(cosine_sim(F.col("_q_emb"), F.col(ec)), 5)
+        # dot / index-vector-norm (the query side is already normalized
+        # above); a zero-norm index vector → 0/0 → nanvl → -1.0, exactly
+        # the fixed `search` rerank
+        cos = F.coalesce(
+            F.nanvl(
+                F.round(_dot(F.col("_q_emb"), F.col(ec)) / _norm(F.col(ec)), 5),
+                F.lit(-1.0),
+            ),
+            F.lit(-1.0),
+        )
         rank_w = Window.partitionBy(qk).orderBy(
             F.desc("cosine"), F.asc(vk)
         )
@@ -430,7 +481,13 @@ class IvfVectorIndex:
             .select(
                 self.vec_key,
                 "cell",
-                F.round(dot / norm, 5).alias("cosine"),
+                # zero-norm index vector → 0/0, which Spark's Divide
+                # yields NULL for (and a NaN could still arrive through
+                # a NaN embedding) — score both -1.0, parity with the
+                # -1.0 zero-norm centroid above and with search_many
+                F.coalesce(
+                    F.nanvl(F.round(dot / norm, 5), F.lit(-1.0)), F.lit(-1.0)
+                ).alias("cosine"),
             )
             .orderBy(F.desc("cosine"), F.asc(self.vec_key))
             .limit(k)

@@ -88,12 +88,20 @@ def sketch_docs(df: DataFrame, doc_key: str, text_col: str) -> DataFrame:
     groups by ``(doc_key, fp)``, never ``doc_key`` alone (which would
     min over the union of both versions' shingles and sketch a text
     that never existed). One grouped aggregation over distinct
-    shingles; everything else is row-local."""
+    shingles; everything else is row-local.
+
+    NULL text yields NO sketch rows (the schema allows it and standalone
+    jobs run over arbitrary document tables): a null norm would produce
+    null fp/bucket rows that violate the sketch tables' non-null keys
+    and silently vanish from equi-join probes and tombstoning. Dropping
+    them here makes a real-text→NULL update behave as a DELETE in
+    ``refresh()`` — the preimage's slots are tombstoned and no new
+    slots are asserted."""
     # bind norm → tokens as real columns before the shingle transform
     # indexes them: element_at inside a lambda gets no common-
     # subexpression elimination, so the unbound split(regexp(...))
     # chain would re-run once per shingle position
-    bound = df.select(
+    bound = df.where(F.col(text_col).isNotNull()).select(
         F.col(doc_key), norm_expr(text_col).alias("_norm")
     ).select(
         doc_key,
@@ -201,23 +209,48 @@ class CorpusDedupIndex:
             "token_p": TOKEN_P,
             "minhash_p": MINHASH_P,
         }
-        if LakeTable.exists(self.path):
-            self.bands = LakeTable.load(spark, self.path)
+        # Creation is two table creates + a sidecar write and a crash can
+        # land between any of them, so init is IDEMPOTENT per piece:
+        # whichever of {fps, meta, bands} exists is loaded/validated and
+        # whichever is missing is (re)created — a half-initialized index
+        # self-heals on the next open instead of failing LakeTable.load.
+        # Order on a fresh create is fps → meta → bands, so the
+        # parameter-pinning sidecar exists before the second table does.
+        fp_exists = LakeTable.exists(self.path + "_fp")
+        bands_exist = LakeTable.exists(self.path)
+        if fp_exists and os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                stored = json.load(fh)
+            for name, given in params.items():
+                if stored.get(name) != given:
+                    raise ValueError(
+                        f"index at {path} was built with {name}="
+                        f"{stored.get(name)}; got {given} — refreshing "
+                        "with different sketch parameters would corrupt it"
+                    )
+        key_type = next(
+            f.dataType for f in base.schema.fields if f.name == doc_key
+        )
+        if fp_exists:
             self.fps = LakeTable.load(spark, self.path + "_fp")
-            if os.path.exists(meta_path):
-                with open(meta_path) as fh:
-                    stored = json.load(fh)
-                for name, given in params.items():
-                    if stored.get(name) != given:
-                        raise ValueError(
-                            f"index at {path} was built with {name}="
-                            f"{stored.get(name)}; got {given} — refreshing "
-                            "with different sketch parameters would corrupt it"
-                        )
         else:
-            key_type = next(
-                f.dataType for f in base.schema.fields if f.name == doc_key
+            fp_schema = T.StructType(
+                [
+                    T.StructField("fp", T.LongType(), False),
+                    T.StructField(doc_key, key_type, False),
+                    T.StructField("n_tokens", T.LongType(), True),
+                ]
             )
+            self.fps = LakeTable.create(
+                spark, self.path + "_fp", fp_schema,
+                key_cols=["fp", doc_key], num_buckets=num_buckets,
+            )
+        if not os.path.exists(meta_path):
+            with open(meta_path, "w") as fh:
+                json.dump(params, fh)
+        if bands_exist:
+            self.bands = LakeTable.load(spark, self.path)
+        else:
             band_schema = T.StructType(
                 [
                     T.StructField("bucket", T.LongType(), False),
@@ -226,23 +259,10 @@ class CorpusDedupIndex:
                     T.StructField("fp", T.LongType(), True),
                 ]
             )
-            fp_schema = T.StructType(
-                [
-                    T.StructField("fp", T.LongType(), False),
-                    T.StructField(doc_key, key_type, False),
-                    T.StructField("n_tokens", T.LongType(), True),
-                ]
-            )
             self.bands = LakeTable.create(
                 spark, self.path, band_schema,
                 key_cols=["bucket", "band", doc_key], num_buckets=num_buckets,
             )
-            self.fps = LakeTable.create(
-                spark, self.path + "_fp", fp_schema,
-                key_cols=["fp", doc_key], num_buckets=num_buckets,
-            )
-            with open(meta_path, "w") as fh:
-                json.dump(params, fh)
 
     # ------------------------------------------------------------------ #
     def last_indexed_version(self) -> int:

@@ -39,6 +39,7 @@ def build_corpus(
     min_tokens: int = 30,
     repetition_filter: bool = True,
     near_dedup: str = "pairs",
+    cluster_max_iters: int = 25,
     lang_fractions: dict[str, float] | None = None,
     default_fraction: float = 1.0,
     window: int = 512,
@@ -91,7 +92,7 @@ def build_corpus(
         from gene_etl_spark.operators.clusters import duplicate_representatives
 
         drop = (
-            duplicate_representatives(pairs)
+            duplicate_representatives(pairs, max_iters=cluster_max_iters)
             .where(~F.col("is_representative"))
             .select(F.col("node").alias("doc_id"))
         )

@@ -85,7 +85,17 @@ def corpus_stream(
         .trigger(availableNow=True)
         .start()
     )
-    if not q.awaitTermination(timeout_sec) and q.isActive:
-        q.stop()  # never leave a detached query mutating corpus/idx
-    idx.release()
-    return {"epochs": stats}
+    # release() in finally: a handle() failure surfaces through
+    # awaitTermination as StreamingQueryException, and the probe cache
+    # must not leak across that. A timeout is surfaced as
+    # drained=False — the checkpoint keeps the drain resumable, but a
+    # silent partial return would read as a complete one.
+    drained = True
+    try:
+        if not q.awaitTermination(timeout_sec):
+            drained = False
+            if q.isActive:
+                q.stop()  # never leave a detached query mutating corpus/idx
+    finally:
+        idx.release()
+    return {"epochs": stats, "drained": drained}

@@ -80,3 +80,32 @@ def test_nonconvergence_raises(spark):
     df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "doc_a long, doc_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, max_iters=1)
+
+
+def test_deep_chain_converges_logarithmically(spark):
+    """Adversarial depth (round-4 verdict item 7): a 3000-node path —
+    the forum-mirror chain shape — would need ~3000 rounds of plain
+    min-label propagation; pointer jumping must land it well inside the
+    default 25-round budget (known-min distance is 2^k − 1 after k
+    rounds, so ~13 rounds + the final no-change round here)."""
+    n = 3000
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.node: r.component
+        for r in connected_components(df, max_iters=16).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_max_iters_threads_through_representatives(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_representatives(df, max_iters=0)
+    reps = {
+        r.node
+        for r in duplicate_representatives(df, max_iters=5).collect()
+        if r.is_representative
+    }
+    assert reps == {1}
