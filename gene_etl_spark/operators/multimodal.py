@@ -1,22 +1,175 @@
-"""Multimodal column plumbing (decode stubbed).
+"""Multimodal column plumbing (PNG decode REAL, other codecs stubbed).
 
 Treats media as opaque ``binary`` payload columns with typed metadata,
 decoded via ``mapInPandas`` in Arrow batches — the shape a real
-image/audio pipeline takes on Spark. The actual codec libraries are not
-in this container, so the decode step is a clearly-marked deterministic
-fake (features derived from the payload bytes themselves); the
-Spark-side plumbing — schema, batch iteration, UDF signature — is real
-and oracle-checked.
+image/audio pipeline takes on Spark. ``decode_image`` dispatches on the
+payload's magic bytes: genuine PNG payloads go through a real stdlib
+decoder (``decode_png`` below — zlib inflate + full filter
+reconstruction, no codec libraries needed); anything else falls back to
+the clearly-marked deterministic fake so the plumbing stays testable
+end-to-end without shipping media files. A production deployment adds
+more formats to the dispatch (PIL/ffmpeg) and keeps every Spark-side
+line unchanged.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+# color type → samples per pixel (PNG spec §11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes) -> dict:
+    """Real PNG decode using only the stdlib + numpy: chunk walk →
+    IHDR geometry → concatenated-IDAT zlib inflate → per-scanline
+    filter reconstruction (all five filters: None/Sub/Up/Average/
+    Paeth). Supports 8-bit greyscale, RGB, greyscale+alpha and RGBA,
+    non-interlaced — the shapes a training pipeline's thumbnails and
+    screenshots actually take; palette/16-bit/interlaced raise
+    ``NotImplementedError`` rather than decoding garbage.
+
+    Returns ``{"width", "height", "channels",
+    "pixels": np.ndarray(height, width, channels) uint8}``.
+    """
+    if payload[: len(PNG_MAGIC)] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = len(PNG_MAGIC)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # 4 len + 4 type + data + 4 crc
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG depth={depth} color={color} interlace={interlace} unsupported"
+        )
+    channels = _PNG_CHANNELS[color]
+    stride = w * channels
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels
+    for y in range(h):
+        off = y * (stride + 1)
+        f = raw[off]
+        cur = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=off + 1
+        ).copy()
+        if f == 0:  # None
+            pass
+        elif f == 1:  # Sub
+            for i in range(bpp, stride):
+                cur[i] = (int(cur[i]) + int(cur[i - bpp])) & 0xFF
+        elif f == 2:  # Up — vectorized (uint8 add wraps mod 256)
+            cur += prev
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = int(cur[i - bpp]) if i >= bpp else 0
+                cur[i] = (int(cur[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (int(cur[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter {f} invalid")
+        out[y] = cur
+        prev = out[y]
+    return {
+        "width": int(w),
+        "height": int(h),
+        "channels": channels,
+        "pixels": out.reshape(h, w, channels),
+    }
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """Stdlib PNG encoder (the test/round-trip twin of ``decode_png``,
+    also usable as a thumbnail sink): 8-bit, non-interlaced;
+    ``filter_type`` applies that PNG filter to EVERY scanline so a
+    round-trip exercises each reconstruction path."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, channels = px.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    bpp = channels
+    flat = px.reshape(h, w * channels).astype(np.int32)
+    prev = np.zeros(w * channels, dtype=np.int32)
+    lines = []
+    for y in range(h):
+        cur = flat[y]
+        left = np.concatenate([np.zeros(bpp, dtype=np.int32), cur[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, dtype=np.int32), prev[:-bpp]])
+        if filter_type == 0:
+            enc = cur
+        elif filter_type == 1:
+            enc = cur - left
+        elif filter_type == 2:
+            enc = cur - prev
+        elif filter_type == 3:
+            enc = cur - ((left + prev) >> 1)
+        elif filter_type == 4:
+            p = left + prev - upleft
+            pa, pb, pc = (
+                np.abs(p - left),
+                np.abs(p - prev),
+                np.abs(p - upleft),
+            )
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            enc = cur - pred
+        else:
+            raise ValueError(f"filter {filter_type} invalid")
+        lines.append(bytes([filter_type]) + (enc & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
 
 DECODED_SCHEMA = T.StructType(
     [
@@ -30,7 +183,7 @@ DECODED_SCHEMA = T.StructType(
 
 
 def fake_decode_image(payload: bytes) -> dict:
-    """STUB: stands in for a real image decode (no codec libs in this
+    """STUB for non-PNG formats (no other codec libs in this
     container). Deterministic features from the payload bytes so the
     pipeline is testable end-to-end. A real deployment swaps this single
     function for PIL/ffmpeg and keeps every Spark-side line unchanged."""
@@ -44,12 +197,46 @@ def fake_decode_image(payload: bytes) -> dict:
     }
 
 
+def decode_image(payload: bytes) -> dict:
+    """Format dispatch: genuine PNG bytes take the REAL decode path
+    (geometry and mean intensity from actual reconstructed pixels);
+    everything else falls back to the deterministic stub. The gated
+    oracle corpus uses md5-derived payloads, which can never carry the
+    8-byte PNG magic, so the driver gate pins the stub branch while the
+    PNG branch is pinned by round-trip pixel tests."""
+    if payload and payload[: len(PNG_MAGIC)] == PNG_MAGIC:
+        d = decode_png(payload)
+        return {
+            "width": d["width"],
+            "height": d["height"],
+            "n_bytes": len(payload),
+            "mean_byte": float(d["pixels"].mean()),
+        }
+    return fake_decode_image(payload)
+
+
+def resize_pixels(pixels: np.ndarray, max_dim: int) -> np.ndarray:
+    """Real nearest-neighbor resample (numpy index arithmetic, no codec
+    lib): fit inside ``max_dim`` preserving aspect ratio — the pixel
+    half of ``resize_media``'s dimension arithmetic, available wherever
+    the payload actually decoded (PNG path)."""
+    h, w = pixels.shape[:2]
+    m = max(h, w)
+    if m <= max_dim:
+        return pixels
+    oh = max(1, int(h * max_dim / m))
+    ow = max(1, int(w * max_dim / m))
+    ys = (np.arange(oh) * (h / oh)).astype(np.int64)
+    xs = (np.arange(ow) * (w / ow)).astype(np.int64)
+    return pixels[ys][:, xs]
+
+
 def decode_media(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
     """mapInPandas over Arrow batches: (id, binary payload) -> features."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = pdf[payload_col].map(fake_decode_image)
+            feats = pdf[payload_col].map(decode_image)
             out = pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
@@ -90,7 +277,7 @@ def resize_media(
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                f = fake_decode_image(payload)
+                f = decode_image(payload)
                 w, h = f["width"], f["height"]
                 m = max(w, h)
                 if m <= RESIZE_MAX_DIM:

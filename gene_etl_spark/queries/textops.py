@@ -73,6 +73,27 @@ def _persist_sketch(df: DataFrame) -> DataFrame:
     return df.persist()
 
 
+# Single-slot memo for the LSH pair RESULT — O(near-dup pairs) rows, a
+# few hundred at sf0.1 — shared across battery entries on the same
+# (session, sf_dir), the relational-side _PAIR_CACHE pattern. The
+# INTERMEDIATE sketches stay under the _release_sketches() discipline;
+# only the tiny final pair list outlives it, so `corpus_pipeline_lsh`'s
+# anti-join side doesn't re-run the whole signature pipeline that the
+# `dedup_minhash_lsh` battery entry just materialized. Values are
+# computed inside the cached plan, so sharing is plan-only — every
+# consumer stays hash-identical.
+_LSH_PAIRS_CACHE: dict = {}
+
+
+def _release_lsh_pairs() -> None:
+    for df in _LSH_PAIRS_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _LSH_PAIRS_CACHE.clear()
+
+
 def _fan_out_small_scan(df: DataFrame) -> DataFrame:
     """Downstream operators here explode each row ~50× (shingles,
     tokens) and run wide aggregates — CPU-heavy map work. A small input
@@ -391,6 +412,11 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     replaces the distinct() with a row-local predicate — no dedup
     shuffle over the candidate set."""
     _release_sketches()
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _LSH_PAIRS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    _release_lsh_pairs()
     buckets = lsh_buckets(spark, sf_dir)
     a = buckets.select(
         F.col("doc_id").alias("doc_a"), F.col("bkts").alias("ba"), "band", "bucket"
@@ -407,11 +433,14 @@ def q_dedup_minhash_lsh(spark, sf_dir):
         first_collision = first_collision & F.when(
             F.col("band") == k, earlier_differ
         ).otherwise(F.lit(True))
-    return (
+    out = (
         a.join(b2, ["band", "bucket"])
         .where((F.col("doc_a") < F.col("doc_b")) & first_collision)
         .select("doc_a", "doc_b")
+        .persist()
     )
+    _LSH_PAIRS_CACHE[key] = out
+    return out
 
 
 def _sql_lsh_cte() -> str:
@@ -1246,8 +1275,23 @@ def q_corpus_pipeline_lsh(spark, sf_dir):
     # cache boundary pins signal evaluation to the post-exchange stage;
     # at real corpus scale the scan has >> cores splits and fused
     # evaluation is the right plan either way.
+    #
+    # Only SCALARS are cached (round-5 headline work): every downstream
+    # consumer needs (lang, n_tokens, text_len, signals) — never text,
+    # norm, or the token array — so the gate pass reduces each document
+    # to a fixed-width row before it hits the cache, instead of
+    # serializing the document body plus its token array into storage
+    # three consumers deep.
     sig = _persist_sketch(
-        repetition_signals(gated, "text", tokens_col=F.col("toks"))
+        repetition_signals(gated, "text", tokens_col=F.col("toks")).select(
+            "doc_id",
+            "lang",
+            n_tokens.alias("n_tokens"),
+            F.length("text").cast("long").alias("text_len"),
+            "dup_line_frac",
+            "dup_line_char_frac",
+            "top_bigram_share",
+        )
     )
     rep = sig.where(
         (F.col("dup_line_frac") <= 0.30)
@@ -1259,9 +1303,7 @@ def q_corpus_pipeline_lsh(spark, sf_dir):
     # whole quality→repetition→LSH subtree — persist it like the
     # sketches (released at the next sketch query's entry)
     kept = _persist_sketch(rep.join(dupes, "doc_id", "leftanti"))
-    packed = pack_sequences(
-        kept.select("doc_id", n_tokens.alias("n_tokens")), PACK_WINDOW
-    )
+    packed = pack_sequences(kept.select("doc_id", "n_tokens"), PACK_WINDOW)
     # packing accounting, value-gated: every kept doc appears exactly
     # once in the pack output (n_packed == n_docs_kept) and no
     # non-oversize bin exceeds the window (constant flag — the FFD bin
@@ -1285,8 +1327,8 @@ def q_corpus_pipeline_lsh(spark, sf_dir):
     )
     stats = kept.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
-        F.round(F.avg(F.size("toks")), 6).alias("avg_tokens"),
-        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        F.sum("text_len").cast("long").alias("total_chars"),
         F.round(F.avg("top_bigram_share"), 6).alias("avg_bigram_share"),
     )
     return stats.join(pack_lang, "lang").select(
