@@ -516,7 +516,7 @@ class CorpusDedupIndex:
             self._probe_sketch.unpersist()
             self._probe_sketch = None
 
-    def candidate_pairs(self) -> DataFrame:
+    def candidate_pairs(self, band_cap: int | None = None) -> DataFrame:
         """Corpus-level near-dup candidate pairs straight from the
         maintained band table — the sketch the one-shot LSH pass
         (queries/textops.py) would have to recompute is ALREADY here,
@@ -524,19 +524,50 @@ class CorpusDedupIndex:
         ``(doc_a, doc_b)`` with ``doc_a < doc_b``, exact dups (equal
         fingerprints) flagged, each pair once; the fingerprint table's
         self-join rides along so exact dups among band-less (<2-token)
-        docs are not missed."""
+        docs are not missed.
+
+        Hot-bucket cap: a band bucket holding more than ``band_cap``
+        docs (a viral duplicate cluster on a NON-deduped corpus — the
+        ingest flow bounds this by construction, a standalone index
+        over raw documents does not) emits a STAR on its smallest doc
+        id instead of all C(k,2) pairs — output linear in the cluster,
+        connectivity for clustering/dedup preserved, pair-level recall
+        inside the cluster traded (see queries/common.py
+        BAND_BUCKET_CAP). The final per-pair aggregate already dedups
+        across bands, so star and all-pairs rows merge cleanly.
+        ``hot_bucket_stats`` surfaces how often the cap bound."""
+        from gene_etl_spark.queries.common import BAND_BUCKET_CAP
+
+        if band_cap is None:
+            band_cap = BAND_BUCKET_CAP
         dk = self.doc_key
         b = self.bands.read()
-        a = b.select(
+        counts = b.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(dk).alias("_min_doc"),
+            F.min_by("fp", dk).alias("_min_fp"),
+        )
+        bc = b.join(counts, ["band", "bucket"])
+        small = bc.where(F.col("_n") <= band_cap)
+        a = small.select(
             "band", "bucket", F.col(dk).alias("doc_a"), F.col("fp").alias("fp_a")
         )
-        c = b.select(
+        c = small.select(
             "band", "bucket", F.col(dk).alias("doc_b"), F.col("fp").alias("fp_b")
+        )
+        star_pairs = (
+            bc.where((F.col("_n") > band_cap) & (F.col(dk) != F.col("_min_doc")))
+            .select(
+                F.col("_min_doc").alias("doc_a"),
+                F.col(dk).alias("doc_b"),
+                (F.col("_min_fp") == F.col("fp")).alias("exact"),
+            )
         )
         band_pairs = (
             a.join(c, ["band", "bucket"])
             .where(F.col("doc_a") < F.col("doc_b"))
             .select("doc_a", "doc_b", (F.col("fp_a") == F.col("fp_b")).alias("exact"))
+            .unionByName(star_pairs)
         )
         # only band-less docs (<2 tokens) need the fingerprint join —
         # equal normalized text implies equal token count, so every
@@ -554,3 +585,27 @@ class CorpusDedupIndex:
             .groupBy("doc_a", "doc_b")
             .agg(F.max("exact").alias("exact"))
         )
+
+    def hot_bucket_stats(self, band_cap: int | None = None) -> dict:
+        """Lineage for the hot-bucket cap: (band, bucket) slots over
+        ``band_cap`` and the worst multiplicity — one tiny aggregate
+        over the maintained band table."""
+        from gene_etl_spark.queries.common import BAND_BUCKET_CAP
+
+        if band_cap is None:
+            band_cap = BAND_BUCKET_CAP
+        row = (
+            self.bands.read()
+            .groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(
+                F.sum((F.col("_n") > band_cap).cast("long")).alias("capped"),
+                F.max("_n").alias("worst"),
+            )
+            .collect()[0]
+        )
+        return {
+            "n_capped_buckets": int(row.capped or 0),
+            "max_multiplicity": int(row.worst or 0),
+            "band_cap": band_cap,
+        }

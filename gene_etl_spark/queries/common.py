@@ -26,6 +26,18 @@ JACCARD_THRESHOLD = 0.3
 # join rows, so one ubiquitous bigram is a quadratic hot key at corpus
 # scale. Standard near-dup practice; mirrored in the DuckDB oracle.
 SHINGLE_DF_CAP = 50
+# The band-bucket analogue of SHINGLE_DF_CAP (round-5 verdict item 2):
+# on a NON-deduped corpus a viral duplicate cluster puts k copies in
+# the same LSH band bucket, and the candidate self-join emits C(k,2)
+# rows — quadratic in the cluster, unbounded by any join strategy.
+# Buckets over this multiplicity switch from all-pairs to a STAR on
+# the bucket's smallest doc id: output drops to k-1 rows per bucket,
+# connectivity (what duplicate clustering and drop-the-larger dedup
+# consume) is fully preserved, and only pair-level recall WITHIN the
+# viral cluster degrades — the documented trade. Sized far above any
+# organic near-dup group (the sf0.1 corpus maxes out at single
+# digits), so the gated oracles never see it bind.
+BAND_BUCKET_CAP = 256
 SIMHASH_BITS = 16
 # Radius 2, not 3: over a 16-bit sketch, hamming <= 3 labels ~22% of
 # RANDOM pairs "near" (Binomial(16, 1/2) <= 3 is not rare) — the output

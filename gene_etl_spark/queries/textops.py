@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from gene_etl_spark.functions import md5_long
 from gene_etl_spark.queries.common import (
     ANN_K,
+    BAND_BUCKET_CAP,
     BAND_SIZE,
     BPE_ISH_PATTERN,
     EMB_BAND_BITS,
@@ -405,23 +406,38 @@ def lsh_buckets(spark, sf_dir) -> DataFrame:
     return _persist_sketch(out)
 
 
-def q_dedup_minhash_lsh(spark, sf_dir):
+def q_dedup_minhash_lsh(spark, sf_dir, band_cap: int = BAND_BUCKET_CAP):
     """LSH candidate pairs: docs sharing any band bucket — a hash
     equi-join on (band, bucket). Each qualifying pair is emitted exactly
     once, at its FIRST matching band (earlier bands must differ), which
     replaces the distinct() with a row-local predicate — no dedup
-    shuffle over the candidate set."""
+    shuffle over the candidate set.
+
+    Hot-bucket cap (BAND_BUCKET_CAP): buckets holding more than
+    ``band_cap`` docs — a viral duplicate cluster on a non-deduped
+    corpus — leave the all-pairs join and instead emit a STAR on the
+    bucket's smallest doc id (k−1 rows, not C(k,2)); see the constant's
+    doc in queries/common.py for the recall trade. When no bucket
+    exceeds the cap (every gated corpus) the hot side is empty and the
+    output is row-identical to the uncapped plan, so the DuckDB oracle
+    needs no cap arm. ``lsh_hot_bucket_stats`` surfaces how often the
+    cap bound."""
     _release_sketches()
     key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _LSH_PAIRS_CACHE.get(key)
+    cached = _LSH_PAIRS_CACHE.get(key) if band_cap == BAND_BUCKET_CAP else None
     if cached is not None:
         return cached
     _release_lsh_pairs()
     buckets = lsh_buckets(spark, sf_dir)
-    a = buckets.select(
+    counts = buckets.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("_n"), F.min("doc_id").alias("_min_doc")
+    )
+    bc = buckets.join(counts, ["band", "bucket"])
+    small = bc.where(F.col("_n") <= band_cap)
+    a = small.select(
         F.col("doc_id").alias("doc_a"), F.col("bkts").alias("ba"), "band", "bucket"
     )
-    b2 = buckets.select(
+    b2 = small.select(
         F.col("doc_id").alias("doc_b"), F.col("bkts").alias("bb"), "band", "bucket"
     )
     first_collision = F.lit(True)
@@ -433,14 +449,43 @@ def q_dedup_minhash_lsh(spark, sf_dir):
         first_collision = first_collision & F.when(
             F.col("band") == k, earlier_differ
         ).otherwise(F.lit(True))
-    out = (
+    small_pairs = (
         a.join(b2, ["band", "bucket"])
         .where((F.col("doc_a") < F.col("doc_b")) & first_collision)
         .select("doc_a", "doc_b")
-        .persist()
     )
-    _LSH_PAIRS_CACHE[key] = out
+    # star pairs from capped buckets; a star pair that ALSO first-
+    # collided in a small bucket (hot band later than the small one)
+    # would duplicate, so anti-join — empty hot side makes this a no-op
+    hot_pairs = (
+        bc.where((F.col("_n") > band_cap) & (F.col("doc_id") != F.col("_min_doc")))
+        .select(F.col("_min_doc").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        .distinct()
+        .join(small_pairs, ["doc_a", "doc_b"], "leftanti")
+    )
+    out = small_pairs.unionByName(hot_pairs).persist()
+    if band_cap == BAND_BUCKET_CAP:
+        _LSH_PAIRS_CACHE[key] = out
     return out
+
+
+def lsh_hot_bucket_stats(spark, sf_dir, band_cap: int = BAND_BUCKET_CAP) -> dict:
+    """Lineage for the hot-bucket cap: how many (band, bucket) slots
+    exceeded ``band_cap`` (and therefore degraded to star pairs) and
+    the worst multiplicity seen. One tiny aggregate over the persisted
+    sketch."""
+    counts = lsh_buckets(spark, sf_dir).groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    row = counts.agg(
+        F.sum((F.col("_n") > band_cap).cast("long")).alias("capped"),
+        F.max("_n").alias("worst"),
+    ).collect()[0]
+    return {
+        "n_capped_buckets": int(row.capped or 0),
+        "max_multiplicity": int(row.worst or 0),
+        "band_cap": band_cap,
+    }
 
 
 def _sql_lsh_cte() -> str:
