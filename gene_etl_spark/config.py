@@ -71,6 +71,11 @@ class IngestConfig:
     # --- maintenance ---------------------------------------------------------
     compact_every_n_batches: int | None = None  # auto-compact cadence
     compact_max_files_per_bucket: int = 4
+    # Threshold policy (the 10^10-event MoR setting): after each batch,
+    # compact any bucket holding more than this many MoR delta files —
+    # read amplification stays bounded (≤ 1 base + K deltas per bucket)
+    # without anyone hand-scheduling maintenance. None = off.
+    compact_delta_files_per_bucket: int | None = None
 
     # --- execution ----------------------------------------------------------
     shuffle_partitions: int | None = None  # default: match cores

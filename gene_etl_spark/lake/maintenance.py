@@ -26,21 +26,30 @@ def read_at_version(table: LakeTable, version: int) -> DataFrame:
     return table.read(manifest=table._read_manifest(version))
 
 
-def compact(table: LakeTable, max_files_per_bucket: int = 1) -> dict:
+def compact(
+    table: LakeTable,
+    max_files_per_bucket: int = 1,
+    buckets: list[int] | None = None,
+) -> dict:
     """Rewrite buckets whose base-file count exceeds the target — or
     which carry MoR delta files — into fresh resolved base files; commits
     a new snapshot (row content identical: the read path's LWW resolution
-    is what gets folded in)."""
+    is what gets folded in). ``buckets`` restricts the rewrite to an
+    explicit set (the policy trigger below compacts only the buckets
+    that tripped it, not every bucket with a single delta)."""
     manifest = table.manifest
     deltas = manifest.get("deltas", {}) or {}
-    fragmented = sorted(
-        {
-            int(b)
-            for b, files in manifest["files"].items()
-            if len(files) > max_files_per_bucket
-        }
-        | {int(b) for b, files in deltas.items() if files}
-    )
+    if buckets is not None:
+        fragmented = sorted(set(buckets))
+    else:
+        fragmented = sorted(
+            {
+                int(b)
+                for b, files in manifest["files"].items()
+                if len(files) > max_files_per_bucket
+            }
+            | {int(b) for b, files in deltas.items() if files}
+        )
     if not fragmented:
         return {"compacted_buckets": 0, "snapshot_version": manifest["version"]}
 
@@ -97,6 +106,35 @@ def compact(table: LakeTable, max_files_per_bucket: int = 1) -> dict:
         "compacted_buckets": len(fragmented),
         "snapshot_version": committed["version"],
     }
+
+
+def compact_if_needed(
+    table: LakeTable,
+    max_delta_files: int = 4,
+    max_base_files: int | None = None,
+) -> dict:
+    """Threshold-triggered compaction — the policy nobody calls by hand
+    at 10^10 events (round-4 verdict item 6). Compacts exactly the
+    buckets whose MoR delta-file count exceeds ``max_delta_files`` (or
+    whose base-file count exceeds ``max_base_files``, when given);
+    everything else is left alone, so steady-state cost is one manifest
+    inspection per call and a rewrite ∝ the buckets that actually
+    fragmented. Wired into the ingest loop via
+    ``IngestConfig.compact_delta_files_per_bucket``; the index family
+    spans the resulting compaction commits silently (no change rows —
+    test-pinned)."""
+    manifest = table.manifest
+    deltas = manifest.get("deltas", {}) or {}
+    target = {int(b) for b, files in deltas.items() if len(files) > max_delta_files}
+    if max_base_files is not None:
+        target |= {
+            int(b)
+            for b, files in manifest["files"].items()
+            if len(files) > max_base_files
+        }
+    if not target:
+        return {"compacted_buckets": 0, "snapshot_version": manifest["version"]}
+    return compact(table, buckets=sorted(target))
 
 
 def expire_snapshots(table: LakeTable, keep_last: int = 10) -> dict:

@@ -189,6 +189,7 @@ def ingest_corpus_batch(
     min_tokens: int = 30,
     repetition_filter: bool = True,
     eval_set: DataFrame | None = None,
+    eval_index=None,
     lang_fractions: dict[str, float] | None = None,
     default_fraction: float = 1.0,
     seed: int = 0,
@@ -279,7 +280,12 @@ def ingest_corpus_batch(
         # cross-corpus: any probe match (exact or near) drops the doc
         matches = idx.probe(kept.select("doc_id", "text")).select("doc_id")
         kept = kept.join(matches, "doc_id", "leftanti")
-        if eval_set is not None:
+        if eval_index is not None:
+            # the CDC-maintained gram table (lake/eval_index.py): the
+            # eval corpus is never re-sketched per batch — the join
+            # side is a broadcast read of the tiny maintained table
+            kept = eval_index.decontaminate(kept)
+        elif eval_set is not None:
             kept = decontaminate(kept, eval_set)
         if lang_fractions is not None:
             kept = stratified_sample(

@@ -273,6 +273,14 @@ class CdcIngestRunner:
                 from gene_etl_spark.lake.maintenance import compact
 
                 compact(self.table, self.config.compact_max_files_per_bucket)
+            k = self.config.compact_delta_files_per_bucket
+            if k is not None:
+                # threshold policy: rewrite only buckets whose delta
+                # count exceeds K — read amplification stays ≤ 1 base +
+                # K deltas per bucket across unbounded ingest
+                from gene_etl_spark.lake.maintenance import compact_if_needed
+
+                compact_if_needed(self.table, max_delta_files=k)
         wall = time.time() - t0
         events = sum(b.get("events_read", 0) for b in batches if not b.get("skipped"))
         return {

@@ -36,6 +36,7 @@ def corpus_stream(
     min_tokens: int = 30,
     repetition_filter: bool = True,
     eval_set=None,
+    eval_index=None,
     lang_fractions: dict[str, float] | None = None,
     default_fraction: float = 1.0,
     seed: int = 0,
@@ -69,6 +70,7 @@ def corpus_stream(
             min_tokens=min_tokens,
             repetition_filter=repetition_filter,
             eval_set=eval_set,
+            eval_index=eval_index,
             lang_fractions=lang_fractions,
             default_fraction=default_fraction,
             seed=seed,

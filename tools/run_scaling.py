@@ -1,8 +1,17 @@
-"""Two-parallelism scaling measurement → BENCH/BASELINE.md.
+"""Two-parallelism scaling measurement → BENCH/BASELINE.md +
+BENCH/SCALING_r{N}.json.
 
 Runs bench_cdc.py in two fresh JVMs — local[N] and local[4N] — on the
 SAME generated change stream, per the BASELINE.md protocol, and records
 events/sec at both plus scaling_efficiency = T(4N) / (4 × T(N)).
+
+Besides the human-readable BENCH/BASELINE.md table, every run emits a
+machine-readable per-round artifact (round-4 verdict item 5):
+BENCH/SCALING_r{N}.json carries EVERY trial at both levels (including
+stalled ones — nothing is silently dropped), the efficiency, and a
+protocol hash over the measurement parameters so rounds are comparable
+only when the protocol actually matched. The round number defaults to
+latest CORRECTNESS_r{N}.json + 1 (the round being built).
 
 Usage: python tools/run_scaling.py [--n 8] [--events 4000000] [--trials 2]
 """
@@ -11,12 +20,25 @@ from __future__ import annotations
 
 import argparse
 import datetime
+import glob
+import hashlib
 import json
 import os
+import re
 import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _current_round() -> int:
+    """The round being BUILT: latest driver CORRECTNESS_r{N} + 1."""
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    return (max(rounds) + 1) if rounds else 1
 
 
 def run_once(cores: int, events: int, convs: int, slices: int, mode: str) -> dict:
@@ -49,6 +71,11 @@ def main() -> None:
     ap.add_argument(
         "--no-write", action="store_true",
         help="print the table but keep the curated BENCH/BASELINE.md",
+    )
+    ap.add_argument(
+        "--round", type=int, default=None,
+        help="round number for BENCH/SCALING_r{N}.json (default: latest "
+        "CORRECTNESS_r{N} + 1)",
     )
     args = ap.parse_args()
 
@@ -99,10 +126,53 @@ driver-gated `cdc_replay` query.
 
 Measured {datetime.datetime.now(datetime.timezone.utc).strftime('%Y-%m-%d %H:%M UTC')}.
 """
+    protocol = {
+        "seed": 42,
+        "events": args.events,
+        "convs": args.convs,
+        "slices": args.slices,
+        "mode": args.mode,
+        "levels": [args.n, 4 * args.n],
+        "trials": args.trials,
+        "steady_state": "first two batches excluded (JVM/JIT warmup)",
+        "selection": "best-of-trials per level (shared-box stall exclusion)",
+    }
+    artifact = {
+        "round": args.round if args.round is not None else _current_round(),
+        "protocol": protocol,
+        "protocol_hash": hashlib.md5(
+            json.dumps(protocol, sort_keys=True).encode()
+        ).hexdigest()[:12],
+        "trials": {
+            str(cores): [
+                {
+                    "steady_state_events_per_sec": r["steady_state_events_per_sec"],
+                    "wall_sec": r["wall_sec"],
+                    "events": r["events"],
+                }
+                for r in rs
+            ]
+            for cores, rs in results.items()
+        },
+        "best_events_per_sec": {str(args.n): best_n, str(4 * args.n): best_4n},
+        "scaling_efficiency": round(eff, 4),
+        "criterion": {"target": 0.8, "met": eff >= 0.8},
+        "measured_utc": datetime.datetime.now(datetime.timezone.utc).strftime(
+            "%Y-%m-%d %H:%M UTC"
+        ),
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     if not args.no_write:
-        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        # BASELINE.md is CURATED (multi-round narrative) — only
+        # overwrite on request; the JSON artifact below always lands.
         with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
             f.write(md)
+    sc_path = os.path.join(
+        REPO, "BENCH", f"SCALING_r{artifact['round']:02d}.json"
+    )
+    with open(sc_path, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(f"wrote {sc_path}")
     print(md)
     print(json.dumps({"n": best_n, "4n": best_4n, "efficiency": round(eff, 3)}))
 
