@@ -16,6 +16,7 @@ from gene_etl_spark.operators.multimodal import (
     FRAME_BYTES,
     FRAME_STEP,
     RESIZE_MAX_DIM,
+    decode_audio_media,
     decode_media,
     resize_media,
     sample_frames,
@@ -169,6 +170,14 @@ FROM frames
 SQL_MULTIMODAL_FRAMES = _sql_frames()
 
 
+def q_multimodal_audio(spark, sf_dir):
+    """Audio feature extraction over binary payloads (rows-only: the
+    synthetic md5 payloads ride the deterministic stub branch; the REAL
+    WAV branch is pinned by tests/test_wav_codec.py round-trips)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return decode_audio_media(with_fake_payload(docs))
+
+
 QUERIES = {
     "pairwise_corr_kernel": q_pairwise_corr_kernel,
     "pairwise_corr_p": q_pairwise_corr_p,
@@ -176,6 +185,7 @@ QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_frames": q_multimodal_frames,
+    "multimodal_audio": q_multimodal_audio,
 }
 
 ORACLES = {
