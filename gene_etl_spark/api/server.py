@@ -5,8 +5,8 @@ spark-submit surface): health (app.py:58-66), config get/validate
 (app.py:68-109), synchronous run + in-memory job tracker and job CRUD
 (app.py:112-233), paginated/filtered results (app.py:236-322),
 statistics rollup (app.py:323-384), validation log (app.py:386-428),
-and JSON 404/500 handlers (app.py:431-446) — re-expressed over the
-engine's own surfaces:
+and JSON 400/404/405/500 handlers (app.py:431-446) — re-expressed over
+the engine's own surfaces:
 
 - jobs run the ``CdcIngestRunner`` synchronously in the request, like
   the reference's synchronous ``etl.run()``; durable job state is the
@@ -22,7 +22,14 @@ Scale notes: the API is a control/read surface, not a data path. Every
 response is bounded — ``limit`` capped at 1000, statistics collects one
 row per cohort, validation is windowed to the latest 100 entries — and
 the heavy lifting stays in Spark jobs. A process-wide lock serializes
-Spark access (one driver, many HTTP threads).
+Spark access (one driver, many HTTP threads); read models are persisted
+in a small cache so paging never re-executes the pipeline per request.
+
+Security: optional ``token`` enables Bearer auth on every route but
+``/health``; optional ``workspace_root`` confines every path field in
+POSTed run configs (without it, any client can point the runner at
+arbitrary filesystem paths — loopback/dev use only). ``jobs/api_job.py``
+refuses non-loopback binds without a token unless ``--insecure``.
 """
 
 from __future__ import annotations
@@ -41,14 +48,35 @@ from urllib.parse import parse_qsl, urlparse
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from gene_etl_spark.config import IngestConfig, config_hash
 
 RESULTS_MAX_LIMIT = 1000
 VALIDATION_WINDOW = 100
 DEFAULT_RESULTS_QUERY = "candidate_view_q"
+DF_CACHE_CAPACITY = 2  # persisted read models kept warm across pages
 
 _CONFIG_FIELDS = {f.name for f in fields(IngestConfig)}
+_PATH_CONFIG_FIELDS = (
+    "lake_path",
+    "events_path",
+    "ledger_path",
+    "metrics_path",
+    "validation_path",
+)
+
+
+def _contains_map(dtype: T.DataType) -> bool:
+    """True if the type tree contains a MapType anywhere (maps are not
+    orderable, even nested inside arrays/structs)."""
+    if isinstance(dtype, T.MapType):
+        return True
+    if isinstance(dtype, T.ArrayType):
+        return _contains_map(dtype.elementType)
+    if isinstance(dtype, T.StructType):
+        return any(_contains_map(f.dataType) for f in dtype.fields)
+    return False
 
 
 class ApiError(Exception):
@@ -104,12 +132,22 @@ class ApiServer:
         default_config: IngestConfig | None = None,
         host: str = "127.0.0.1",
         port: int = 0,
+        token: str | None = None,
+        workspace_root: str | None = None,
     ):
         self.spark = spark
         self.sf_dir = sf_dir
         self.default_config = default_config
+        self.token = token  # Bearer auth on every route but /health
+        # all path fields in POSTed run configs must resolve under this
+        # root (None = unconfined, for loopback/dev use only)
+        self.workspace_root = (
+            os.path.realpath(workspace_root) if workspace_root else None
+        )
         self.jobs: dict[str, dict] = {}
         self._lock = threading.Lock()  # one Spark driver, many HTTP threads
+        self._jobs_lock = threading.Lock()  # tracker mutations vs listings
+        self._df_cache: dict[str, object] = {}  # name -> persisted DataFrame
         self._httpd = ThreadingHTTPServer((host, port), self._make_handler())
         self._httpd.daemon_threads = True
         self._thread: threading.Thread | None = None
@@ -139,6 +177,9 @@ class ApiServer:
         self._httpd.server_close()
         if self._thread is not None:
             self._thread.join(timeout=10)
+        for df in self._df_cache.values():
+            df.unpersist()
+        self._df_cache.clear()
 
     # ------------------------------------------------------------------ #
     # endpoint implementations (handler delegates here)
@@ -174,6 +215,26 @@ class ApiServer:
             "config_hash": config_hash(cfg),
         }
 
+    def _check_workspace(self, cfg: IngestConfig) -> None:
+        """Confine client-supplied paths: the runner writes/reads at every
+        path field in the config, so an unconfined server would hand any
+        HTTP client arbitrary-path filesystem access through the Spark
+        process. Operator-supplied default_config is exempt."""
+        if self.workspace_root is None:
+            return
+        root = self.workspace_root + os.sep
+        for field in _PATH_CONFIG_FIELDS:
+            p = os.path.realpath(getattr(cfg, field))
+            if p != self.workspace_root and not p.startswith(root):
+                raise ApiError(
+                    400,
+                    {
+                        "error": "Path outside the server's workspace root",
+                        "field": field,
+                        "workspace_root": self.workspace_root,
+                    },
+                )
+
     def handle_run(self, body: dict | None) -> dict:
         if body:
             try:
@@ -182,6 +243,7 @@ class ApiServer:
                 raise ApiError(
                     400, {"error": "Invalid configuration", "details": str(e)}
                 )
+            self._check_workspace(cfg)
         elif self.default_config is not None:
             cfg = self.default_config
         else:
@@ -194,12 +256,13 @@ class ApiServer:
             )
 
         job_id = str(uuid.uuid4())
-        self.jobs[job_id] = {
-            "status": "running",
-            "start_time": _utcnow_iso(),
-            "config": _jsonable(asdict(cfg)),
-            "config_hash": config_hash(cfg),
-        }
+        with self._jobs_lock:
+            self.jobs[job_id] = {
+                "status": "running",
+                "start_time": _utcnow_iso(),
+                "config": _jsonable(asdict(cfg)),
+                "config_hash": config_hash(cfg),
+            }
         # synchronous, like the reference (app.py:135 "in production, use
         # Celery or similar"); durable state is the ledger + snapshot chain
         try:
@@ -208,11 +271,12 @@ class ApiServer:
             with self._lock:
                 summary = CdcIngestRunner(self.spark, cfg).run()
             summary.pop("batches", None)
-            self.jobs[job_id].update(
-                status="completed",
-                end_time=_utcnow_iso(),
-                results=_jsonable(summary),
-            )
+            with self._jobs_lock:
+                self.jobs[job_id].update(
+                    status="completed",
+                    end_time=_utcnow_iso(),
+                    results=_jsonable(summary),
+                )
             return {
                 "job_id": job_id,
                 "status": "completed",
@@ -220,9 +284,10 @@ class ApiServer:
                 "message": "Ingest run completed successfully",
             }
         except Exception as e:  # noqa: BLE001 — reported, not swallowed
-            self.jobs[job_id].update(
-                status="failed", end_time=_utcnow_iso(), error=str(e)
-            )
+            with self._jobs_lock:
+                self.jobs[job_id].update(
+                    status="failed", end_time=_utcnow_iso(), error=str(e)
+                )
             raise ApiError(
                 500,
                 {
@@ -234,17 +299,23 @@ class ApiServer:
             )
 
     def handle_list_jobs(self, params: dict) -> dict:
-        return {"jobs": self.jobs, "count": len(self.jobs)}
+        # snapshot under the lock: a concurrent run/delete mutating the
+        # dict mid-json.dumps would RuntimeError the listing
+        with self._jobs_lock:
+            jobs = {k: dict(v) for k, v in self.jobs.items()}
+        return {"jobs": jobs, "count": len(jobs)}
 
     def handle_get_job(self, job_id: str) -> dict:
-        if job_id not in self.jobs:
-            raise ApiError(404, {"error": "Job not found", "job_id": job_id})
-        return self.jobs[job_id]
+        with self._jobs_lock:
+            if job_id not in self.jobs:
+                raise ApiError(404, {"error": "Job not found", "job_id": job_id})
+            return dict(self.jobs[job_id])
 
     def handle_delete_job(self, job_id: str) -> dict:
-        if job_id not in self.jobs:
-            raise ApiError(404, {"error": "Job not found", "job_id": job_id})
-        del self.jobs[job_id]
+        with self._jobs_lock:
+            if job_id not in self.jobs:
+                raise ApiError(404, {"error": "Job not found", "job_id": job_id})
+            del self.jobs[job_id]
         return {"message": "Job deleted successfully", "job_id": job_id}
 
     def handle_list_queries(self, params: dict) -> dict:
@@ -257,6 +328,10 @@ class ApiServer:
         }
 
     def _registry_df(self, name: str):
+        """Build (or reuse) a registry read model. The result is persisted
+        and cached so paging / repeated statistics polls don't re-execute
+        the full pipeline per request (read models are deterministic over
+        the static sf_dir tables). Callers hold self._lock."""
         from gene_etl_spark.queries import all_queries
 
         q, _ = all_queries()
@@ -266,7 +341,44 @@ class ApiServer:
             raise ApiError(
                 400, {"error": "Server started without an sf_dir data root"}
             )
-        return q[name](self.spark, self.sf_dir)
+        if name not in self._df_cache:
+            while len(self._df_cache) >= DF_CACHE_CAPACITY:
+                evicted = next(iter(self._df_cache))
+                self._df_cache.pop(evicted).unpersist()
+            self._df_cache[name] = q[name](self.spark, self.sf_dir).persist()
+        return self._df_cache[name]
+
+    @staticmethod
+    def _typed_filter(df, col: str, raw: str):
+        """Equality filter with the value parsed to the column's type —
+        a string-render comparison would silently miss numeric columns
+        (rho=1 never matches Spark's '1.0' rendering)."""
+        dtype = dict(df.dtypes)[col]
+        try:
+            if dtype in ("tinyint", "smallint", "int", "bigint"):
+                val = int(raw)
+            elif dtype in ("float", "double") or dtype.startswith("decimal"):
+                val = float(raw)
+            elif dtype == "boolean":
+                low = raw.lower()
+                if low not in ("true", "false", "0", "1"):
+                    raise ValueError(f"not a boolean: {raw!r}")
+                val = low in ("true", "1")
+            else:
+                # strings / dates / timestamps: compare on the string form
+                return df.filter(F.col(col).cast("string") == raw)
+        except ValueError as e:
+            raise ApiError(
+                400,
+                {
+                    "error": "Filter value does not parse as the column type",
+                    "column": col,
+                    "type": dtype,
+                    "value": raw,
+                    "details": str(e),
+                },
+            )
+        return df.filter(F.col(col) == F.lit(val))
 
     def handle_results(self, params: dict) -> dict:
         params = dict(params)
@@ -286,9 +398,12 @@ class ApiServer:
                     raise ApiError(
                         400, {"error": "Unknown filter column", "column": col}
                     )
-                df = df.filter(F.col(col).cast("string") == val)
+                df = self._typed_filter(df, col, val)
             # deterministic pagination: order by every sortable column
-            sortable = [c for c, t in df.dtypes if not t.startswith("map<")]
+            # (maps are unorderable even nested inside arrays/structs)
+            sortable = [
+                f.name for f in df.schema.fields if not _contains_map(f.dataType)
+            ]
             if sortable:
                 df = df.orderBy(*sortable)
             rows = df.offset(offset).limit(limit).collect()
@@ -347,7 +462,9 @@ class ApiServer:
         }
 
     def _validation_path(self) -> str | None:
-        for job in reversed(list(self.jobs.values())):
+        with self._jobs_lock:
+            jobs = list(self.jobs.values())
+        for job in reversed(jobs):
             p = (job.get("config") or {}).get("validation_path")
             if p:
                 return p
@@ -402,11 +519,19 @@ class ApiServer:
                 except json.JSONDecodeError as e:
                     raise ApiError(400, {"error": "Bad JSON body", "details": str(e)})
 
+            def _check_auth(self, route: str) -> None:
+                if server.token is None or route == "/health":
+                    return
+                supplied = self.headers.get("Authorization", "")
+                if supplied != f"Bearer {server.token}":
+                    raise ApiError(401, {"error": "Unauthorized"})
+
             def _dispatch(self, method: str) -> None:
                 parsed = urlparse(self.path)
                 route = parsed.path.rstrip("/") or "/"
                 params = dict(parse_qsl(parsed.query))
                 try:
+                    self._check_auth(route)
                     payload = self._route(method, route, params)
                     self._send(200, payload)
                 except ApiError as e:
@@ -417,33 +542,55 @@ class ApiServer:
                     )
 
             def _route(self, method: str, route: str, params: dict) -> dict:
-                if method == "GET" and route == "/health":
-                    return server.handle_health(params)
-                if method == "GET" and route == "/api/v1/config":
-                    return server.handle_get_config(params)
-                if method == "POST" and route == "/api/v1/config/validate":
-                    return server.handle_validate_config(self._body())
-                if method == "POST" and route == "/api/v1/etl/run":
-                    return server.handle_run(self._body())
-                if method == "GET" and route == "/api/v1/etl/jobs":
-                    return server.handle_list_jobs(params)
-                if route.startswith("/api/v1/etl/jobs/"):
+                table = {
+                    "/health": {"GET": lambda: server.handle_health(params)},
+                    "/api/v1/config": {
+                        "GET": lambda: server.handle_get_config(params)
+                    },
+                    "/api/v1/config/validate": {
+                        "POST": lambda: server.handle_validate_config(self._body())
+                    },
+                    "/api/v1/etl/run": {
+                        "POST": lambda: server.handle_run(self._body())
+                    },
+                    "/api/v1/etl/jobs": {
+                        "GET": lambda: server.handle_list_jobs(params)
+                    },
+                    "/api/v1/queries": {
+                        "GET": lambda: server.handle_list_queries(params)
+                    },
+                    "/api/v1/results": {
+                        "GET": lambda: server.handle_results(params)
+                    },
+                    "/api/v1/statistics": {
+                        "GET": lambda: server.handle_statistics(params)
+                    },
+                    "/api/v1/validation": {
+                        "GET": lambda: server.handle_validation(params)
+                    },
+                }
+                handlers = table.get(route)
+                if handlers is None and route.startswith("/api/v1/etl/jobs/"):
                     job_id = route.rsplit("/", 1)[1]
-                    if method == "GET":
-                        return server.handle_get_job(job_id)
-                    if method == "DELETE":
-                        return server.handle_delete_job(job_id)
-                if method == "GET" and route == "/api/v1/queries":
-                    return server.handle_list_queries(params)
-                if method == "GET" and route == "/api/v1/results":
-                    return server.handle_results(params)
-                if method == "GET" and route == "/api/v1/statistics":
-                    return server.handle_statistics(params)
-                if method == "GET" and route == "/api/v1/validation":
-                    return server.handle_validation(params)
-                raise ApiError(
-                    404, {"error": "Endpoint not found", "path": route}
-                )
+                    handlers = {
+                        "GET": lambda: server.handle_get_job(job_id),
+                        "DELETE": lambda: server.handle_delete_job(job_id),
+                    }
+                if handlers is None:
+                    raise ApiError(
+                        404, {"error": "Endpoint not found", "path": route}
+                    )
+                handler = handlers.get(method)
+                if handler is None:  # known route, wrong verb (app.py 405)
+                    raise ApiError(
+                        405,
+                        {
+                            "error": "Method not allowed",
+                            "path": route,
+                            "allowed": sorted(handlers),
+                        },
+                    )
+                return handler()
 
             def do_GET(self):  # noqa: N802
                 self._dispatch("GET")
@@ -453,5 +600,11 @@ class ApiServer:
 
             def do_DELETE(self):  # noqa: N802
                 self._dispatch("DELETE")
+
+            def do_PUT(self):  # noqa: N802 — JSON 405, not stdlib HTML 501
+                self._dispatch("PUT")
+
+            def do_PATCH(self):  # noqa: N802
+                self._dispatch("PATCH")
 
         return Handler

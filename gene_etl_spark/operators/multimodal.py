@@ -420,10 +420,11 @@ def encode_wav(
 def resample_audio(
     samples: np.ndarray, src_rate: int, dst_rate: int
 ) -> np.ndarray:
-    """Nearest-neighbor resample (numpy index arithmetic, the audio twin
-    of ``resize_pixels``): pick the source frame nearest each output
-    instant. No-op when rates match."""
-    if src_rate == dst_rate:
+    """Floor-index (sample-and-hold) resample, the audio twin of
+    ``resize_pixels``: output instant ``i`` takes the source frame at
+    ``floor(i * n_in / n_out)``. No-op when rates match or input is
+    empty."""
+    if src_rate == dst_rate or samples.shape[0] == 0:
         return samples
     n_in = samples.shape[0]
     n_out = max(1, int(round(n_in * dst_rate / src_rate)))

@@ -28,7 +28,31 @@ def main() -> None:
     ap.add_argument("--num-buckets", type=int, default=64)
     ap.add_argument("--merge-mode", choices=["cow", "mor"], default="cow")
     ap.add_argument("--cores", type=int, default=None, help="local mode only")
+    ap.add_argument(
+        "--token", default=None, help="Bearer token required on every route"
+    )
+    ap.add_argument(
+        "--workspace-root",
+        default=None,
+        help="confine POSTed run-config paths under this root "
+        "(default: the warehouse dir)",
+    )
+    ap.add_argument(
+        "--insecure",
+        action="store_true",
+        help="allow a non-loopback bind without --token",
+    )
     args = ap.parse_args()
+
+    if (
+        args.host not in ("127.0.0.1", "localhost", "::1")
+        and not args.token
+        and not args.insecure
+    ):
+        ap.error(
+            "refusing a non-loopback bind without --token "
+            "(pass --insecure to override)"
+        )
 
     from gene_etl_spark.api import ApiServer
     from gene_etl_spark.config import IngestConfig
@@ -53,6 +77,8 @@ def main() -> None:
         default_config=default_config,
         host=args.host,
         port=args.port,
+        token=args.token,
+        workspace_root=args.workspace_root or args.warehouse,
     )
     print(f"gene-etl-spark API listening on {server.url}")
     server.serve_forever()

@@ -23,11 +23,15 @@ from gene_etl_spark.sources.simulate import generate_change_stream
 SF_DIR = "/root/testdata/sf0.001"
 
 
-def _call(method: str, url: str, body: dict | None = None):
+def _call(
+    method: str, url: str, body: dict | None = None, headers: dict | None = None
+):
     data = json.dumps(body).encode() if body is not None else None
     req = urllib.request.Request(url, data=data, method=method)
     if data is not None:
         req.add_header("Content-Type", "application/json")
+    for k, v in (headers or {}).items():
+        req.add_header(k, v)
     try:
         with urllib.request.urlopen(req, timeout=600) as resp:
             return resp.status, json.loads(resp.read())
@@ -189,3 +193,92 @@ def test_statistics(api):
 def test_unknown_endpoint_is_json_404(api):
     status, out = _call("GET", api.url + "/api/v1/nope")
     assert status == 404 and out["error"] == "Endpoint not found"
+
+
+def test_known_route_wrong_method_is_json_405(api):
+    status, out = _call("PUT", api.url + "/api/v1/results")
+    assert status == 405 and out["error"] == "Method not allowed"
+    assert out["allowed"] == ["GET"]
+    status, out = _call("POST", api.url + "/api/v1/etl/jobs/some-id")
+    assert status == 405 and sorted(out["allowed"]) == ["DELETE", "GET"]
+
+
+def test_typed_numeric_filters(api):
+    # dim_join: n_customers bigint, avg_acctbal double (rounded to 4)
+    status, p0 = _call("GET", api.url + "/api/v1/results?query=dim_join&limit=1")
+    assert status == 200 and p0["count"] == 1
+    row = p0["results"][0]
+
+    # double filter with a non-canonical string rendering: extra trailing
+    # zeros never match under string comparison, must match under typed
+    val = row["avg_acctbal"]
+    status, out = _call(
+        "GET",
+        f"{api.url}/api/v1/results?query=dim_join&avg_acctbal={val:.10f}",
+    )
+    assert status == 200 and out["count"] >= 1
+    assert any(r["avg_acctbal"] == val for r in out["results"])
+
+    # bigint filter
+    n = row["n_customers"]
+    status, out = _call(
+        "GET", f"{api.url}/api/v1/results?query=dim_join&n_customers={n}"
+    )
+    assert status == 200 and out["count"] >= 1
+    assert all(r["n_customers"] == n for r in out["results"])
+
+    # unparsable numeric filter is a 400, not a silently empty 200
+    status, out = _call(
+        "GET", api.url + "/api/v1/results?query=dim_join&n_customers=abc"
+    )
+    assert status == 400 and out["column"] == "n_customers"
+
+
+def test_bearer_token_auth(api, spark):
+    from gene_etl_spark.api import ApiServer
+
+    secured = ApiServer(spark, sf_dir=SF_DIR, token="sekrit").start()
+    try:
+        # /health stays open (readiness probes)
+        status, _ = _call("GET", secured.url + "/health")
+        assert status == 200
+        status, out = _call("GET", secured.url + "/api/v1/config")
+        assert status == 401 and out["error"] == "Unauthorized"
+        status, _ = _call(
+            "GET",
+            secured.url + "/api/v1/config",
+            headers={"Authorization": "Bearer wrong"},
+        )
+        assert status == 401
+        status, out = _call(
+            "GET",
+            secured.url + "/api/v1/config",
+            headers={"Authorization": "Bearer sekrit"},
+        )
+        assert status == 200 and "config_hash" in out
+    finally:
+        secured.stop()
+
+
+def test_workspace_root_confinement(api, spark, tmp_path):
+    from gene_etl_spark.api import ApiServer
+
+    confined = ApiServer(spark, workspace_root=str(tmp_path)).start()
+    try:
+        inside = str(tmp_path / "wh")
+        body = {
+            "lake_path": "/somewhere/else/lake",  # outside the root
+            "events_path": inside,
+            "ledger_path": inside,
+            "metrics_path": inside,
+            "validation_path": inside,
+        }
+        status, out = _call("POST", confined.url + "/api/v1/etl/run", body)
+        assert status == 400
+        assert out["error"] == "Path outside the server's workspace root"
+        assert out["field"] == "lake_path"
+        # no job is tracked for a rejected request
+        status, out = _call("GET", confined.url + "/api/v1/etl/jobs")
+        assert status == 200 and out["count"] == 0
+    finally:
+        confined.stop()

@@ -71,6 +71,9 @@ def test_resample_nearest_neighbor():
     assert up[0, 0] == 0 and up[-1, 0] == 99
     same = resample_audio(ramp, 8_000, 8_000)
     assert same is ramp
+    # empty input stays empty (no IndexError from the n_out>=1 floor)
+    empty = np.zeros((0, 2), dtype=np.int32)
+    assert resample_audio(empty, 16_000, 8_000).shape == (0, 2)
 
 
 def test_decode_audio_features_from_real_frames():
