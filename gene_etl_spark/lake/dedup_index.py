@@ -218,7 +218,11 @@ class CorpusDedupIndex:
         # parameter-pinning sidecar exists before the second table does.
         fp_exists = LakeTable.exists(self.path + "_fp")
         bands_exist = LakeTable.exists(self.path)
-        if fp_exists and os.path.exists(meta_path):
+        # validate whenever the sidecar exists — NOT gated on fp_exists:
+        # an index whose fps manifests were lost but whose meta/bands
+        # survive must still refuse changed sketch constants rather than
+        # silently recreate-and-mix
+        if os.path.exists(meta_path):
             with open(meta_path) as fh:
                 stored = json.load(fh)
             for name, given in params.items():

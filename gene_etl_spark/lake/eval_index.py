@@ -29,6 +29,7 @@ eval corpus is never re-read, let alone re-sketched.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -69,6 +70,22 @@ class EvalNgramIndex:
                 )
             doc_key = key[0]
         self.doc_key = doc_key
+        # parameter pinning, the index-family contract: grams hashed with
+        # a different n (or over a different column/key) would never match
+        # the stored rows, so tombstoning silently misses and the table
+        # mixes gram widths — refuse instead, like _dedup_meta/_ann_meta
+        meta_path = os.path.join(self.path, "_eval_meta.json")
+        params = {"text_col": text_col, "doc_key": doc_key, "n": n}
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                stored = json.load(fh)
+            for name, given in params.items():
+                if stored.get(name) != given:
+                    raise ValueError(
+                        f"eval index at {path} was built with {name}="
+                        f"{stored.get(name)}; got {given} — refreshing "
+                        "with different gram parameters would corrupt it"
+                    )
         if LakeTable.exists(self.path):
             self.table = LakeTable.load(spark, self.path)
         else:
@@ -85,6 +102,9 @@ class EvalNgramIndex:
                 spark, self.path, schema,
                 key_cols=["gh", doc_key], num_buckets=num_buckets,
             )
+        if not os.path.exists(meta_path):
+            with open(meta_path, "w") as fh:
+                json.dump(params, fh)
 
     # ------------------------------------------------------------------ #
     def _grams(self, docs: DataFrame) -> DataFrame:
@@ -116,49 +136,62 @@ class EvalNgramIndex:
 
         dk, tc = self.doc_key, self.text_col
         try:
-            ch = read_changes(self.base, last, cur, include_preimages=True)
+            # persisted: the feed has two independent consumers (post-state
+            # grams and UP preimages) — same reason IvfVectorIndex.refresh
+            # persists its feed
+            ch = read_changes(
+                self.base, last, cur, include_preimages=True
+            ).persist()
             full_rebuild = False
         except ValueError:
             ch = None
             full_rebuild = True
-        if full_rebuild:
-            sk = self._grams(self.base.read(manifest=bm).select(dk, tc))
-            gone = self.table.read().select("gh", dk).join(
-                sk, ["gh", dk], "leftanti"
-            )
-        else:
-            post = ch.where(F.col(CHANGE_OP_COL).isin("U", "D")).select(
-                F.col(dk), F.col(tc), F.col(CHANGE_OP_COL),
-                "_commit_version", "_lsn",
-            )
-            latest = lww_dedup_agg(
-                post, key_cols=(dk,), order_cols=("_commit_version", "_lsn")
-            )
-            sk = self._grams(
-                latest.where(F.col(CHANGE_OP_COL) == "U").select(dk, tc)
-            )
-            pre = self._grams(
-                ch.where(F.col(CHANGE_OP_COL) == "UP").select(dk, tc)
-            ).distinct()
-            gone = pre.join(sk, ["gh", dk], "leftanti")
-        updates = (
-            sk.select("gh", dk, F.lit("U").alias("op"))
-            .withColumn("lsn", F.lit(2 * cur + 1).cast("long"))
-            .unionByName(
-                gone.select("gh", dk, F.lit("D").alias("op")).withColumn(
-                    "lsn", F.lit(2 * cur).cast("long")
-                )
-            )
-            .withColumn("ts", F.lit(None).cast("timestamp"))
-        )
         try:
-            r = self.table.merge(
-                updates, batch_id=batch_id, start_lsn=last, end_lsn=cur
+            if full_rebuild:
+                sk = self._grams(self.base.read(manifest=bm).select(dk, tc))
+                gone = self.table.read().select("gh", dk).join(
+                    sk, ["gh", dk], "leftanti"
+                )
+            else:
+                post = ch.where(F.col(CHANGE_OP_COL).isin("U", "D")).select(
+                    F.col(dk), F.col(tc), F.col(CHANGE_OP_COL),
+                    "_commit_version", "_lsn",
+                )
+                latest = lww_dedup_agg(
+                    post, key_cols=(dk,), order_cols=("_commit_version", "_lsn")
+                )
+                sk = self._grams(
+                    latest.where(F.col(CHANGE_OP_COL) == "U").select(dk, tc)
+                )
+                pre = self._grams(
+                    ch.where(F.col(CHANGE_OP_COL) == "UP").select(dk, tc)
+                ).distinct()
+                gone = pre.join(sk, ["gh", dk], "leftanti")
+            updates = (
+                sk.select("gh", dk, F.lit("U").alias("op"))
+                .withColumn("lsn", F.lit(2 * cur + 1).cast("long"))
+                .unionByName(
+                    gone.select("gh", dk, F.lit("D").alias("op")).withColumn(
+                        "lsn", F.lit(2 * cur).cast("long")
+                    )
+                )
+                .withColumn("ts", F.lit(None).cast("timestamp"))
             )
-        except CommitConflict:
-            if batch_id in self.table.committed_batches():
-                return {"refreshed": False, "from_version": last, "to_version": cur}
-            raise
+            try:
+                r = self.table.merge(
+                    updates, batch_id=batch_id, start_lsn=last, end_lsn=cur
+                )
+            except CommitConflict:
+                if batch_id in self.table.committed_batches():
+                    return {
+                        "refreshed": False,
+                        "from_version": last,
+                        "to_version": cur,
+                    }
+                raise
+        finally:
+            if ch is not None:
+                ch.unpersist()
         return {
             "refreshed": True,
             "full_rebuild": full_rebuild,

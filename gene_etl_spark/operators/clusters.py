@@ -32,15 +32,36 @@ bounds components of diameter ~2^25 rather than 25.
 Each iteration's labels go through an EAGER ``localCheckpoint`` so the
 lineage stays flat at any iteration count (a persist alone would chain
 plans across iterations and blow up the optimizer on deep graphs); the
-PREVIOUS iteration's checkpoint blocks are explicitly unpersisted once
-the new labels are materialized, so block usage stays O(nodes), not
-O(iterations × nodes).
+PREVIOUS iteration's checkpoint blocks are explicitly freed once the
+new labels are materialized, so block usage stays O(nodes), not
+O(iterations × nodes). ``Dataset.unpersist()`` is a silent no-op for
+localCheckpoint blocks (it only consults the CacheManager, which never
+sees localCheckpoint's direct RDD persist — measured on this Spark), so
+the blocks are freed JVM-side by RDD id: snapshot
+``getPersistentRDDs`` around each checkpoint and unpersist the diff one
+round later. The RETURNED labels' blocks stay persisted — the caller
+consumes that DataFrame. If another thread persists an RDD in the
+narrow snapshot window it would be freed a round later too: worst case
+a recompute of someone's cache, never wrong results (and the engine
+never calls this concurrently).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _persisted_rdd_ids(sc) -> set:
+    return {int(k) for k in sc._jsc.getPersistentRDDs().keySet()}
+
+
+def _unpersist_rdds(sc, rdd_ids) -> None:
+    jmap = sc._jsc.getPersistentRDDs()
+    for rid in rdd_ids:
+        jrdd = jmap.get(rid)
+        if jrdd is not None:
+            jrdd.unpersist(False)
 
 
 def connected_components(
@@ -59,12 +80,15 @@ def connected_components(
         .distinct()
         .persist()
     )
+    sc = pairs.sparkSession.sparkContext
+    snap = _persisted_rdd_ids(sc)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
+    label_rdd_ids = _persisted_rdd_ids(sc) - snap
     try:
         for _ in range(max_iters):
             neighbor_min = (
@@ -78,8 +102,11 @@ def connected_components(
                 .groupBy(F.col("src").alias("node"))
                 .agg(F.min("_nc").alias("_best"))
             )
+            # carry the pre-round label as _old so the changed count
+            # reads off the checkpoint itself — no extra join per round
             propagated = labels.join(neighbor_min, "node", "left").select(
                 "node",
+                F.col("component").alias("_old"),
                 F.least(
                     F.col("component"), F.coalesce("_best", "component")
                 ).alias("component"),
@@ -88,6 +115,7 @@ def connected_components(
             # values are node ids present in `labels` (they originate
             # as node ids and mins thereof), so the left join hits;
             # coalesce guards the theoretical miss.
+            snap = _persisted_rdd_ids(sc)
             new_labels = (
                 propagated.join(
                     labels.select(
@@ -99,21 +127,22 @@ def connected_components(
                 )
                 .select(
                     "node",
+                    "_old",
                     F.least(
                         F.col("component"), F.coalesce("_cc", "component")
                     ).alias("component"),
                 )
                 .localCheckpoint()  # eager: flat lineage per iteration
             )
+            new_rdd_ids = _persisted_rdd_ids(sc) - snap
             changed = (
-                new_labels.join(
-                    labels.withColumnRenamed("component", "_old"), "node"
-                )
-                .where(F.col("component") < F.col("_old"))
-                .count()
+                new_labels.where(F.col("component") < F.col("_old")).count()
             )
-            labels.unpersist()  # previous round's checkpoint blocks
-            labels = new_labels
+            # previous round's checkpoint blocks — freed JVM-side,
+            # Dataset.unpersist() would silently no-op (see module doc)
+            _unpersist_rdds(sc, label_rdd_ids)
+            label_rdd_ids = new_rdd_ids
+            labels = new_labels.select("node", "component")
             if changed == 0:
                 return labels
         raise RuntimeError(

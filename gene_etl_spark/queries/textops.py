@@ -423,11 +423,16 @@ def q_dedup_minhash_lsh(spark, sf_dir, band_cap: int = BAND_BUCKET_CAP):
     needs no cap arm. ``lsh_hot_bucket_stats`` surfaces how often the
     cap bound."""
     _release_sketches()
+    default_cap = band_cap == BAND_BUCKET_CAP
     key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _LSH_PAIRS_CACHE.get(key) if band_cap == BAND_BUCKET_CAP else None
+    cached = _LSH_PAIRS_CACHE.get(key) if default_cap else None
     if cached is not None:
         return cached
-    _release_lsh_pairs()
+    if default_cap:
+        # only the default-cap path owns the shared cache slot; a custom
+        # cap must not evict the warmed default result other consumers
+        # (corpus_pipeline_lsh, bench warmup) depend on
+        _release_lsh_pairs()
     buckets = lsh_buckets(spark, sf_dir)
     counts = buckets.groupBy("band", "bucket").agg(
         F.count(F.lit(1)).alias("_n"), F.min("doc_id").alias("_min_doc")
@@ -463,8 +468,11 @@ def q_dedup_minhash_lsh(spark, sf_dir, band_cap: int = BAND_BUCKET_CAP):
         .distinct()
         .join(small_pairs, ["doc_a", "doc_b"], "leftanti")
     )
-    out = small_pairs.unionByName(hot_pairs).persist()
-    if band_cap == BAND_BUCKET_CAP:
+    out = small_pairs.unionByName(hot_pairs)
+    if default_cap:
+        # persist ONLY the cache-tracked result — a custom-cap persist
+        # would have no release path and leak for the session lifetime
+        out = out.persist()
         _LSH_PAIRS_CACHE[key] = out
     return out
 
@@ -474,6 +482,7 @@ def lsh_hot_bucket_stats(spark, sf_dir, band_cap: int = BAND_BUCKET_CAP) -> dict
     exceeded ``band_cap`` (and therefore degraded to star pairs) and
     the worst multiplicity seen. One tiny aggregate over the persisted
     sketch."""
+    _release_sketches()  # sketch-cache discipline: release before persist
     counts = lsh_buckets(spark, sf_dir).groupBy("band", "bucket").agg(
         F.count(F.lit(1)).alias("_n")
     )

@@ -109,3 +109,24 @@ def test_max_iters_threads_through_representatives(spark):
         if r.is_representative
     }
     assert reps == {1}
+
+
+def test_checkpoint_blocks_freed_per_round(spark):
+    """Each round's localCheckpoint blocks are freed JVM-side once the
+    next round materializes (Dataset.unpersist is a silent no-op for
+    localCheckpoint); only the FINAL labels checkpoint — the DataFrame
+    the caller consumes — may remain persisted."""
+    sc = spark.sparkContext
+
+    def rdd_ids():
+        return {int(k) for k in sc._jsc.getPersistentRDDs().keySet()}
+
+    n = 200  # chain deep enough for several pointer-jumping rounds
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    before = rdd_ids()
+    labels = connected_components(df)
+    assert {r.component for r in labels.collect()} == {0}
+    leaked = rdd_ids() - before
+    assert len(leaked) <= 1, f"checkpoint blocks accumulated: {leaked}"

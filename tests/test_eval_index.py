@@ -142,3 +142,20 @@ def test_ingest_corpus_batch_uses_index(spark, workdir):
     ids = {x.doc_id for x in corpus.read().select("doc_id").collect()}
     assert ids == {101}
     assert r["stats"]["corpus_deduped"] == 1
+
+
+def test_gram_parameter_pinning(spark, workdir):
+    """Reopening with a different gram width must refuse (the
+    index-family contract): grams hashed with a new n would never match
+    the stored rows, so tombstoning silently misses forever."""
+    import pytest
+
+    base = _eval_base(spark, workdir)
+    _merge(spark, base, [(1, EVAL_1)], lsn0=1)
+    path = os.path.join(workdir, "eix")
+    EvalNgramIndex(spark, path, base).refresh()
+    assert os.path.exists(os.path.join(path, "_eval_meta.json"))
+    with pytest.raises(ValueError, match="gram parameters"):
+        EvalNgramIndex(spark, path, base, n=13)
+    # same parameters reopen fine
+    EvalNgramIndex(spark, path, base)

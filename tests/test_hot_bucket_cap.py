@@ -137,3 +137,23 @@ def test_lsh_query_unchanged_when_cap_does_not_bind(spark):
         for r in q_dedup_minhash_lsh(spark, sf_dir, band_cap=10**9).collect()
     }
     assert capped == uncapped and len(capped) > 0
+
+
+def test_custom_cap_does_not_touch_the_shared_cache(spark):
+    """A non-default band_cap must neither evict the warmed default-cap
+    result (corpus_pipeline_lsh / bench warmup depend on it) nor leave
+    an untracked persisted DataFrame behind."""
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("driver testdata not present")
+    from gene_etl_spark.queries.textops import _LSH_PAIRS_CACHE
+
+    default = q_dedup_minhash_lsh(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    assert _LSH_PAIRS_CACHE.get(key) is default
+
+    custom = q_dedup_minhash_lsh(spark, sf_dir, band_cap=10**9)
+    assert _LSH_PAIRS_CACHE.get(key) is default  # not evicted
+    lvl = custom.storageLevel
+    assert not (lvl.useMemory or lvl.useDisk)  # not persisted → no leak
+    assert custom.count() > 0

@@ -285,3 +285,24 @@ def test_corpus_stream_reports_drained(spark, workdir, docs_base):
     )
     assert out["drained"] is True
     assert corpus.read().count() == 3
+
+
+def test_pinning_enforced_when_fps_manifests_lost(spark, workdir, docs_base):
+    """The sidecar check must trigger whenever the meta exists — losing
+    the fps table's manifests (partial restore) must not silently skip
+    validation and recreate-and-mix under changed sketch constants."""
+    import json
+
+    _merge_docs(spark, docs_base, [(1, _text(1))], lsn0=1)
+    path = os.path.join(workdir, "dix_lost")
+    CorpusDedupIndex(spark, path, docs_base).refresh()
+    meta_path = os.path.join(path + "_fp", "_dedup_meta.json")
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    meta["num_hashes"] = 3
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+    # lose the fps manifests but keep the sidecar + bands
+    shutil.rmtree(os.path.join(path + "_fp", "_manifests"))
+    with pytest.raises(ValueError, match="num_hashes"):
+        CorpusDedupIndex(spark, path, docs_base)
