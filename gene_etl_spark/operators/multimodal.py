@@ -203,7 +203,8 @@ def decode_image(payload: bytes) -> dict:
     everything else falls back to the deterministic stub. The gated
     oracle corpus uses md5-derived payloads, which can never carry the
     8-byte PNG magic, so the driver gate pins the stub branch while the
-    PNG branch is pinned by round-trip pixel tests."""
+    PNG branch is pinned by round-trip pixel tests. GIF payloads decode
+    their first composited frame (still-image view of an animation)."""
     if payload and payload[: len(PNG_MAGIC)] == PNG_MAGIC:
         d = decode_png(payload)
         return {
@@ -211,6 +212,14 @@ def decode_image(payload: bytes) -> dict:
             "height": d["height"],
             "n_bytes": len(payload),
             "mean_byte": float(d["pixels"].mean()),
+        }
+    if is_gif(payload):
+        d = decode_gif(payload)
+        return {
+            "width": d["width"],
+            "height": d["height"],
+            "n_bytes": len(payload),
+            "mean_byte": float(d["frames"][0].mean()),
         }
     return fake_decode_image(payload)
 
@@ -314,19 +323,321 @@ FRAMES_SCHEMA = T.StructType(
 )
 
 
+# --------------------------------------------------------------------- #
+# animation/video: real GIF codec (stdlib-only LZW), the frame-stream
+# format — same magic-byte dispatch shape as the PNG and WAV paths
+
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+# interlace pass structure (GIF89a spec appendix E): (start row, step)
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def is_gif(payload: bytes) -> bool:
+    return len(payload) >= 6 and payload[:6] in GIF_MAGICS
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> list:
+    """GIF-variant LZW: LSB-first bit packing, clear/end codes, code
+    width grows when the dictionary fills (capped at 12 bits)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: dict = {i: (i,) for i in range(clear)}
+    next_code = end + 1
+    out: list = []
+    prev = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while bitpos + code_size <= total_bits and len(out) < n_pixels:
+        byte_i, bit_o = divmod(bitpos, 8)
+        window = int.from_bytes(data[byte_i : byte_i + 4], "little")
+        code = (window >> bit_o) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            code_size = min_code_size + 1
+            table = {i: (i,) for i in range(clear)}
+            next_code = end + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]  # first code after clear must be literal
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:  # the KwKwK case
+            entry = prev + (prev[0],)
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        if prev is not None:
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        out.extend(entry)
+        prev = entry
+    if len(out) < n_pixels:
+        raise ValueError(
+            f"GIF LZW stream ended early: {len(out)}/{n_pixels} pixels"
+        )
+    return out[:n_pixels]
+
+
+def _gif_deinterlace(rows: np.ndarray) -> np.ndarray:
+    """Undo the four-pass interlaced row order (rows arrive pass by
+    pass; put each back at its true scanline)."""
+    h = rows.shape[0]
+    order = [
+        r for start, step in _GIF_INTERLACE_PASSES for r in range(start, h, step)
+    ]
+    out = np.empty_like(rows)
+    out[np.array(order)] = rows
+    return out
+
+
+def decode_gif(payload: bytes) -> dict:
+    """Real GIF decode using only the stdlib + numpy: header + logical
+    screen descriptor, global/local color tables, graphic-control
+    extensions (transparency + disposal 0/1/2), LZW-decompressed frames
+    composited onto the canvas in order, interlaced or not. Disposal 3
+    (restore-to-previous) raises rather than compositing garbage.
+
+    Returns ``{"width", "height", "n_frames",
+    "frames": [np.ndarray(height, width, 3) uint8, ...]}`` — one
+    composited RGB canvas per frame, animation-ready.
+    """
+    if not is_gif(payload):
+        raise ValueError("not a GIF payload")
+    try:
+        return _decode_gif_body(payload)
+    except (IndexError, struct.error) as exc:
+        raise ValueError("truncated GIF payload") from exc
+
+
+def _decode_gif_body(payload: bytes) -> dict:
+    width, height = struct.unpack_from("<HH", payload, 6)
+    packed, bg_idx, _aspect = struct.unpack_from("<BBB", payload, 10)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+
+    canvas = np.zeros((height, width, 3), np.uint8)
+    if gct is not None and bg_idx < len(gct):
+        canvas[:] = gct[bg_idx]
+    frames: list = []
+    transparent_idx = None
+    disposal = 0
+    prev_rect = None  # (top, left, h, w, disposal) of the previous frame
+
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = payload[pos]
+            pos += 1
+            if label == 0xF9:  # graphic control
+                size = payload[pos]
+                gpacked, _delay, tidx = struct.unpack_from(
+                    "<BHB", payload, pos + 1
+                )
+                pos += 1 + size
+                disposal = (gpacked >> 2) & 0x07
+                transparent_idx = tidx if gpacked & 0x01 else None
+            # skip remaining sub-blocks (and the whole body of other
+            # extensions: comment/application/plain-text)
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+
+        left, top, w, h = struct.unpack_from("<HHHH", payload, pos)
+        ipacked = payload[pos + 8]
+        pos += 9
+        palette = gct
+        if ipacked & 0x80:  # local color table
+            n = 2 << (ipacked & 0x07)
+            palette = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        if palette is None:
+            raise ValueError("GIF frame without any color table")
+        min_code_size = payload[pos]
+        pos += 1
+        chunks = []
+        while payload[pos] != 0:
+            size = payload[pos]
+            chunks.append(payload[pos + 1 : pos + 1 + size])
+            pos += 1 + size
+        pos += 1
+
+        # dispose of the PREVIOUS frame's region before drawing this one
+        if prev_rect is not None:
+            ptop, pleft, ph, pw, pdisp = prev_rect
+            if pdisp == 2:  # restore region to background
+                bg = (
+                    gct[bg_idx]
+                    if gct is not None and bg_idx < len(gct)
+                    else np.zeros(3, np.uint8)
+                )
+                canvas[ptop : ptop + ph, pleft : pleft + pw] = bg
+            elif pdisp == 3:
+                raise NotImplementedError(
+                    "GIF disposal 3 (restore to previous) not supported"
+                )
+
+        idx = np.array(
+            _gif_lzw_decode(min_code_size, b"".join(chunks), w * h), np.int64
+        ).reshape(h, w)
+        if ipacked & 0x40:
+            idx = _gif_deinterlace(idx)
+        rgb = palette[np.clip(idx, 0, len(palette) - 1)]
+        region = canvas[top : top + h, left : left + w]
+        if transparent_idx is not None:
+            mask = idx != transparent_idx
+            region[mask] = rgb[mask]
+        else:
+            region[:] = rgb
+        frames.append(canvas.copy())
+        prev_rect = (top, left, h, w, disposal)
+        transparent_idx = None
+        disposal = 0
+
+    if not frames:
+        raise ValueError("GIF payload contains no image frames")
+    return {
+        "width": int(width),
+        "height": int(height),
+        "n_frames": len(frames),
+        "frames": frames,
+    }
+
+
+def _gif_lzw_encode(min_code_size: int, indices) -> bytes:
+    """Fixed-width LZW ("uncompressed GIF"): emit every pixel as a
+    literal code, inserting a clear code one step before the decoder's
+    dictionary growth would widen the code — valid LZW any decoder
+    accepts, with no compression-table bookkeeping."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    out = bytearray()
+    bitbuf = nbits = 0
+
+    def emit(code):
+        nonlocal bitbuf, nbits
+        bitbuf |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+
+    emit(clear)
+    since_clear = 0
+    for i in indices:
+        emit(int(i))
+        since_clear += 1
+        # decoder adds an entry per code after the first; keep its
+        # next_code strictly below 2**code_size so the width never grows
+        if since_clear >= clear - 2:
+            emit(clear)
+            since_clear = 0
+    emit(end)
+    if nbits:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(
+    frames,
+    palette: np.ndarray,
+    transparent_idx: int | None = None,
+    interlace: bool = False,
+    disposal: int = 1,
+    bg_idx: int = 0,
+) -> bytes:
+    """Round-trip twin of ``decode_gif``: full-canvas index frames +
+    one global palette → GIF89a bytes (fixed-width LZW). Each frame
+    after the first carries a graphic-control extension with
+    ``disposal`` and optional transparency."""
+    frames = [np.asarray(f, np.uint8) for f in frames]
+    h, w = frames[0].shape
+    n = len(palette)
+    size_field = max(1, (n - 1).bit_length()) - 1  # 2 << field >= n
+    while (2 << size_field) < n:
+        size_field += 1
+    table = np.zeros((2 << size_field, 3), np.uint8)
+    table[:n] = palette
+    min_code_size = max(2, size_field + 1)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += struct.pack("<BBB", 0x80 | size_field, bg_idx, 0)
+    out += table.tobytes()
+    for fi, frame in enumerate(frames):
+        if fi > 0 or transparent_idx is not None:
+            gpacked = (disposal & 0x07) << 2
+            tidx = 0
+            if transparent_idx is not None:
+                gpacked |= 0x01
+                tidx = transparent_idx
+            out += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, gpacked, 0, tidx, 0)
+        rows = frame
+        ipacked = 0
+        if interlace:
+            order = [
+                r
+                for start, step in _GIF_INTERLACE_PASSES
+                for r in range(start, h, step)
+            ]
+            rows = frame[np.array(order)]
+            ipacked |= 0x40
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, ipacked)
+        out.append(min_code_size)
+        data = _gif_lzw_encode(min_code_size, rows.reshape(-1))
+        for off in range(0, len(data), 255):
+            chunk = data[off : off + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)
+
+
 def sample_frames(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:
-    """mapInPandas frame sampling: treat the payload as a frame stream
-    (FRAME_BYTES bytes per frame), keep every FRAME_STEP-th frame, emit
-    one row per sampled frame — the 1→N fan-out shape a real video
-    pipeline has (decode is the stubbed step; the per-frame feature here
-    is the byte sum so the output is deterministic and oracle-checked)."""
+    """mapInPandas frame sampling: GIF payloads (magic-byte dispatch,
+    like the PNG/WAV paths) get a REAL decode — every FRAME_STEP-th
+    composited animation frame, frame_sum = the canvas pixel sum; any
+    other payload is treated as a raw frame stream (FRAME_BYTES bytes
+    per frame, byte-sum feature). Both arms are the 1→N fan-out shape a
+    real video pipeline has, and both are deterministic. The gated
+    oracle runs on 16-byte md5 fake payloads which can never carry the
+    GIF magic, so the stub arm's oracle stays exact."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if is_gif(payload):
+                    dec = decode_gif(payload)
+                    for i in range(0, dec["n_frames"], FRAME_STEP):
+                        rows.append(
+                            (
+                                int(doc_id),
+                                i,
+                                int(dec["frames"][i].sum(dtype=np.int64)),
+                            )
+                        )
+                    continue
                 n_frames = len(payload) // FRAME_BYTES
                 for i in range(0, n_frames, FRAME_STEP):
                     chunk = payload[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]

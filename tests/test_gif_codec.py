@@ -1,0 +1,133 @@
+"""Real GIF codec (operators/multimodal.py): stdlib-only LZW decode
+round-tripped against the fixed-width LZW encoder (plain, interlaced,
+transparent, disposal 0/1/2), the KwKwK LZW corner pinned by a
+hand-packed bitstream, and the Spark ``sample_frames`` path over
+GENUINE GIF payloads — frame sums must come from actual composited
+animation frames, not payload bytes."""
+
+import numpy as np
+import pytest
+
+from gene_etl_spark.operators.multimodal import (
+    FRAME_BYTES,
+    FRAME_STEP,
+    _gif_lzw_decode,
+    decode_gif,
+    decode_image,
+    encode_gif,
+    is_gif,
+    sample_frames,
+)
+
+
+def _corpus(seed=7, n_colors=8, shape=(13, 9), n_frames=3):
+    rng = np.random.default_rng(seed)
+    palette = rng.integers(0, 256, size=(n_colors, 3), dtype=np.uint8)
+    frames = [
+        rng.integers(0, n_colors, size=shape, dtype=np.uint8)
+        for _ in range(n_frames)
+    ]
+    return palette, frames
+
+
+def test_roundtrip_plain_and_interlaced():
+    palette, frames = _corpus()
+    for interlace in (False, True):
+        payload = encode_gif(frames, palette, interlace=interlace)
+        assert is_gif(payload)
+        d = decode_gif(payload)
+        assert (d["width"], d["height"], d["n_frames"]) == (9, 13, 3)
+        for f_idx, f_dec in zip(frames, d["frames"]):
+            assert np.array_equal(f_dec, palette[f_idx]), f"interlace={interlace}"
+
+
+def test_transparency_composites_over_prior_frame():
+    palette, frames = _corpus()
+    d = decode_gif(encode_gif(frames, palette, transparent_idx=3, disposal=1))
+    # decode starts the canvas at the background color (bg_idx=0)
+    canvas = np.broadcast_to(palette[0], (13, 9, 3)).copy()
+    for f_idx, f_dec in zip(frames, d["frames"]):
+        mask = f_idx != 3
+        canvas[mask] = palette[f_idx][mask]
+        assert np.array_equal(f_dec, canvas)
+
+
+def test_disposal_2_restores_background_between_frames():
+    palette, frames = _corpus()
+    d = decode_gif(encode_gif(frames, palette, transparent_idx=3, disposal=2))
+    bg = np.broadcast_to(palette[0], (13, 9, 3))
+    for f_idx, f_dec in zip(frames, d["frames"]):
+        expect = bg.copy()
+        mask = f_idx != 3
+        expect[mask] = palette[f_idx][mask]
+        assert np.array_equal(f_dec, expect)
+
+
+def test_wide_palette_grows_code_width_and_spans_subblocks():
+    # 64 colors -> 7-bit min codes; 48x37 frame -> >255 bytes of LZW data,
+    # so the encoder must span multiple 255-byte sub-blocks
+    palette, frames = _corpus(seed=11, n_colors=64, shape=(48, 37), n_frames=1)
+    d = decode_gif(encode_gif(frames, palette))
+    assert np.array_equal(d["frames"][0], palette[frames[0]])
+
+
+def test_lzw_kwkwk_corner():
+    # hand-packed stream, min_code_size=2 (clear=4, end=5, width 3):
+    # [clear, 0, 6] where 6 == next_code exercises entry = prev + prev[0]
+    codes, width = (4, 0, 6, 5), 3
+    packed = 0
+    for i, c in enumerate(codes):
+        packed |= c << (i * width)
+    data = packed.to_bytes((len(codes) * width + 7) // 8, "little")
+    assert _gif_lzw_decode(2, data, 3) == [0, 0, 0]
+
+
+def test_malformed_and_unsupported_raise():
+    palette, frames = _corpus()
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"\x00" * 32)
+    with pytest.raises(NotImplementedError, match="disposal 3"):
+        decode_gif(encode_gif(frames, palette, disposal=3))
+    payload = encode_gif(frames[:1], palette)
+    with pytest.raises(ValueError, match="ended early|truncated"):
+        decode_gif(payload[:-20] + b"\x00\x3b")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_gif(payload[:40])
+    # a code stream that stops short of w*h pixels reports "ended early"
+    with pytest.raises(ValueError, match="ended early"):
+        _gif_lzw_decode(2, b"\x04", 10)
+
+
+def test_decode_image_dispatches_gif_first_frame():
+    palette, frames = _corpus()
+    payload = encode_gif(frames, palette)
+    feats = decode_image(payload)
+    assert (feats["width"], feats["height"]) == (9, 13)
+    assert feats["n_bytes"] == len(payload)
+    assert feats["mean_byte"] == pytest.approx(float(palette[frames[0]].mean()))
+
+
+def test_spark_sample_frames_mixed_payloads(spark):
+    palette, frames = _corpus(n_frames=5)
+    gif = encode_gif(frames, palette)
+    stub = bytes(range(4 * FRAME_BYTES))
+    df = spark.createDataFrame(
+        [(1, bytearray(gif)), (2, bytearray(stub))],
+        "doc_id long, payload binary",
+    )
+    rows = sample_frames(df).collect()
+    got = {(r["doc_id"], r["frame_idx"]): r["frame_sum"] for r in rows}
+    # GIF arm: every FRAME_STEP-th composited frame, real pixel sums
+    expect_idx = list(range(0, 5, FRAME_STEP))
+    assert sorted(i for d, i in got if d == 1) == expect_idx
+    canvas = np.broadcast_to(palette[0], (13, 9, 3)).copy()
+    sums = []
+    for f_idx in frames:
+        canvas[:] = palette[f_idx]
+        sums.append(int(canvas.sum(dtype=np.int64)))
+    for i in expect_idx:
+        assert got[(1, i)] == sums[i]
+    # stub arm unchanged: raw byte-stream chunk sums
+    for i in range(0, 4, FRAME_STEP):
+        chunk = stub[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+        assert got[(2, i)] == sum(chunk)
