@@ -363,7 +363,9 @@ def _gif_lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> list:
         if code == end:
             break
         if prev is None:
-            entry = table[code]  # first code after clear must be literal
+            if code not in table:  # first code after clear must be literal
+                raise ValueError("corrupt GIF LZW stream")
+            entry = table[code]
         elif code in table:
             entry = table[code]
         elif code == next_code:  # the KwKwK case

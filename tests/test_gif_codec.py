@@ -96,6 +96,10 @@ def test_malformed_and_unsupported_raise():
     # a code stream that stops short of w*h pixels reports "ended early"
     with pytest.raises(ValueError, match="ended early"):
         _gif_lzw_decode(2, b"\x04", 10)
+    # first code after a clear must be a literal; a dictionary code there
+    # is corruption, not KeyError territory
+    with pytest.raises(ValueError, match="corrupt"):
+        _gif_lzw_decode(2, bytes([4 | 7 << 3]), 4)
 
 
 def test_decode_image_dispatches_gif_first_frame():
