@@ -1,0 +1,172 @@
+"""Temporal joins Spark lacks as built-ins, composed from shuffle-lean
+DataFrame primitives.
+
+``asof_join`` — for every left row, the single right row with the
+greatest (backward) / least (forward) time not past the left row's
+time, per key. The naive formulation is an inequality join, which Spark
+can only execute as a broadcast-nested-loop or a cartesian-with-filter —
+O(|L|·|R|) work that falls over at scale. This implementation is the
+union-and-window form instead: tag the two sides, union them, and run
+one window per key ordered by (time, side) taking the last
+non-null right payload — a SINGLE hash shuffle on the key plus a
+per-partition sort, the same cost envelope as a groupBy. 100 TB shape:
+cost ∝ |L|+|R| shuffled once, no pair blow-up, AQE-skew-splittable.
+
+``range_join`` — point-in-interval equi-expansion: intervals are
+exploded onto a fixed grid of coarse buckets (interval span / grid
+step bounded by construction), points map to one bucket, and the join
+becomes an equi-join on (key, grid_cell) followed by the exact bounds
+filter — the standard trick for making Catalyst hash-partition an
+interval predicate instead of nested-looping it (DuckDB's IEJoin and
+Spark's range-join hints solve the same problem engine-side).
+
+The DuckDB twin of ``asof_join`` is ``ASOF JOIN`` (parity pinned in
+tests/test_temporal_join.py); ``range_join``'s twin is a plain
+inequality join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["asof_join", "range_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str] | str | None = None,
+    direction: str = "backward",
+    tolerance: int | float | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Left as-of join: every ``left`` row, decorated with the payload
+    of the temporally closest ``right`` row per ``by`` group.
+
+    direction='backward' (default): the right row with the greatest
+    ``on`` value <= the left row's (DuckDB ``ASOF JOIN`` / pandas
+    ``merge_asof`` semantics). 'forward': the least value >=.
+    Unmatched left rows keep null right columns (left-join shape).
+
+    ``tolerance`` (same units as ``on``): matches farther than this
+    from the left row are nulled out.
+
+    Ties: right rows sharing the exact match time resolve to the one
+    the per-key (time, original-order-free) sort places last — callers
+    needing a deterministic winner among equal-time right rows should
+    pre-dedup (e.g. lww_dedup_agg), same contract as the merge path.
+
+    Right payload columns that collide with left column names are
+    renamed with ``suffix``.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    by = [by] if isinstance(by, str) else list(by or [])
+    if on in by:
+        raise ValueError("'on' column cannot also be a 'by' key")
+    for c in [on, *by]:
+        if c not in left.columns or c not in right.columns:
+            raise ValueError(f"column {c!r} must exist on both sides")
+
+    payload = [c for c in right.columns if c not in (on, *by)]
+    if not payload:
+        raise ValueError("right side carries no payload columns")
+    out_names = {c: c + suffix if c in left.columns else c for c in payload}
+    matched_on = "__asof_t" + suffix
+
+    # ---- tag + union ---------------------------------------------------
+    # side 0 sorts before side 1 at equal time; backward wants right rows
+    # FIRST at a tie (<= is inclusive), forward wants them LAST in the
+    # reversed sort (>= inclusive) — right is side 0 in both layouts.
+    l_tag = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias("__asof_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(out_names[c]) for c in payload],
+        F.lit(None).cast(right.schema[on].dataType).alias(matched_on),
+    )
+    r_tag = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in (on, *by)],
+        *[F.col(c) for c in (on, *by)],
+        F.lit(0).alias("__asof_side"),
+        *[F.col(c).alias(out_names[c]) for c in payload],
+        F.col(on).alias(matched_on),
+    )
+    unioned = l_tag.unionByName(r_tag)
+
+    from pyspark.sql import Window
+
+    order = [F.col(on).asc(), F.col("__asof_side").asc()]
+    if direction == "forward":
+        order = [F.col(on).desc(), F.col("__asof_side").asc()]
+    w = (
+        Window.partitionBy(*[F.col(c) for c in by])
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    filled = unioned.select(
+        *[F.col(c) for c in left.columns],
+        F.col("__asof_side").alias("__asof_side"),
+        *[F.last(out_names[c], ignorenulls=True).over(w).alias(out_names[c]) for c in payload],
+        F.last(matched_on, ignorenulls=True).over(w).alias(matched_on),
+    )
+    out = filled.where(F.col("__asof_side") == 1).drop("__asof_side")
+
+    if tolerance is not None:
+        delta = (
+            F.col(on) - F.col(matched_on)
+            if direction == "backward"
+            else F.col(matched_on) - F.col(on)
+        )
+        keep = F.col(matched_on).isNotNull() & (delta <= F.lit(tolerance))
+        out = out.select(
+            *[F.col(c) for c in left.columns],
+            *[
+                F.when(keep, F.col(out_names[c])).alias(out_names[c])
+                for c in payload
+            ],
+            F.when(keep, F.col(matched_on)).alias(matched_on),
+        )
+    return out
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    by: list[str] | str | None = None,
+    grid: int = 1000,
+) -> DataFrame:
+    """Inner join of ``points`` rows to every ``intervals`` row whose
+    [lo, hi] contains the point (plus equal ``by`` keys).
+
+    Equi-expansion: each interval explodes onto ``ceil(span/grid)+1``
+    coarse grid cells, each point maps to exactly one, and the join is
+    a hash equi-join on (by…, cell) with the exact containment filter
+    on top — Catalyst never sees an inequality-only join, so the plan
+    is shuffle-hash/sort-merge, not nested-loop. Pick ``grid`` near the
+    TYPICAL interval span: explosion factor stays O(1) and each cell's
+    candidate set stays local. Intervals with lo > hi match nothing.
+    """
+    by = [by] if isinstance(by, str) else list(by or [])
+    overlap = set(points.columns) & set(intervals.columns) - set(by)
+    if overlap:
+        raise ValueError(f"overlapping non-key columns: {sorted(overlap)}")
+    if grid <= 0:
+        raise ValueError("grid must be positive")
+
+    cell = F.floor(F.col(point_col) / grid)
+    p = points.withColumn("__cell", cell.cast("long"))
+    lo_cell = F.floor(F.col(lo_col) / grid).cast("long")
+    hi_cell = F.floor(F.col(hi_col) / grid).cast("long")
+    i = (
+        intervals.where(F.col(lo_col) <= F.col(hi_col))
+        .withColumn("__cell", F.explode(F.sequence(lo_cell, hi_cell)))
+    )
+    joined = p.join(i, [*by, "__cell"], "inner").where(
+        (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) <= F.col(hi_col))
+    )
+    return joined.drop("__cell")

@@ -1,0 +1,193 @@
+"""asof_join / range_join (operators/temporal.py): randomized parity
+with DuckDB's native ASOF JOIN (backward and forward), tolerance
+nulling, and plan shape — the whole point of the union-and-window form
+is that Catalyst never falls back to a nested-loop join."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from gene_etl_spark.operators.temporal import asof_join, range_join
+
+
+def _corpora(seed=13, n_left=400, n_right=150, n_keys=7):
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, n_keys, n_left),
+            "t": rng.integers(0, 1000, n_left).astype("int64"),
+            "lval": rng.integers(0, 10**6, n_left),
+        }
+    )
+    # unique (k, t) on the right: equal-time right duplicates are
+    # documented as caller-dedup territory (same contract as merge)
+    right = (
+        pd.DataFrame(
+            {
+                "k": rng.integers(0, n_keys, n_right),
+                "t": rng.integers(0, 1000, n_right).astype("int64"),
+                "rval": rng.integers(0, 10**6, n_right),
+            }
+        )
+        .drop_duplicates(["k", "t"])
+        .reset_index(drop=True)
+    )
+    return left, right
+
+
+def _duck_asof(left, right, op):
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    return con.sql(
+        f"""
+        select l.k, l.t, l.lval, r.rval as rval, r.t as matched
+        from l asof left join r on l.k = r.k and l.t {op} r.t
+        order by l.k, l.t, l.lval
+        """
+    ).df()
+
+
+def _sorted(df):
+    return df.sort_values(["k", "t", "lval"]).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("direction,op", [("backward", ">="), ("forward", "<=")])
+def test_asof_parity_with_duckdb(spark, direction, op):
+    left, right = _corpora()
+    out = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        on="t",
+        by="k",
+        direction=direction,
+    ).toPandas()
+    out = _sorted(out).rename(columns={"__asof_t_right": "matched"})
+    exp = _sorted(_duck_asof(left, right, op))
+    assert len(out) == len(left)
+    pd.testing.assert_series_equal(
+        out["rval"].astype("float64"), exp["rval"].astype("float64"), check_names=False
+    )
+    pd.testing.assert_series_equal(
+        out["matched"].astype("float64"), exp["matched"].astype("float64"), check_names=False
+    )
+
+
+def test_asof_equal_time_is_inclusive_and_suffix_applies(spark):
+    left = spark.createDataFrame([(1, 100, "L")], "k long, t long, v string")
+    right = spark.createDataFrame([(1, 100, "R")], "k long, t long, v string")
+    for direction in ("backward", "forward"):
+        row = asof_join(left, right, on="t", by="k", direction=direction).collect()[0]
+        assert row["v"] == "L" and row["v_right"] == "R"  # collision renamed
+        assert row["__asof_t_right"] == 100
+
+
+def test_asof_tolerance_nulls_far_matches(spark):
+    left = spark.createDataFrame(
+        [(1, 100), (1, 200), (1, 500)], "k long, t long"
+    )
+    right = spark.createDataFrame([(1, 90, 7.0)], "k long, t long, rv double")
+    out = {
+        r["t"]: (r["rv"], r["__asof_t_right"])
+        for r in asof_join(
+            left, right, on="t", by="k", tolerance=50
+        ).collect()
+    }
+    assert out[100] == (7.0, 90)
+    assert out[200] == (None, None)  # 110 > tolerance
+    assert out[500] == (None, None)
+
+
+def test_asof_unmatched_left_rows_survive_with_nulls(spark):
+    left = spark.createDataFrame([(1, 5), (2, 50)], "k long, t long")
+    right = spark.createDataFrame([(1, 10, 1.0)], "k long, t long, rv double")
+    rows = {r["k"]: r for r in asof_join(left, right, on="t", by="k").collect()}
+    assert rows[1]["rv"] is None  # right row is in the future
+    assert rows[2]["rv"] is None  # key absent entirely
+    fwd = {
+        r["k"]: r
+        for r in asof_join(left, right, on="t", by="k", direction="forward").collect()
+    }
+    assert fwd[1]["rv"] == 1.0 and fwd[2]["rv"] is None
+
+
+def test_asof_plan_has_no_nested_loop(spark):
+    left, right = _corpora()
+    plan = (
+        asof_join(
+            spark.createDataFrame(left), spark.createDataFrame(right), on="t", by="k"
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "Window" in plan
+
+
+def test_asof_validation_errors(spark):
+    left = spark.createDataFrame([(1, 2)], "k long, t long")
+    right = spark.createDataFrame([(1, 2, 3.0)], "k long, t long, rv double")
+    with pytest.raises(ValueError, match="backward|forward"):
+        asof_join(left, right, on="t", direction="nearest")
+    with pytest.raises(ValueError, match="must exist"):
+        asof_join(left, right, on="missing")
+    with pytest.raises(ValueError, match="no payload"):
+        asof_join(left, right.select("k", "t"), on="t", by="k")
+    with pytest.raises(ValueError, match="cannot also"):
+        asof_join(left, right, on="t", by="t")
+
+
+def test_range_join_parity_with_duckdb(spark):
+    rng = np.random.default_rng(29)
+    pts = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 300),
+            "x": rng.integers(0, 10_000, 300).astype("int64"),
+            "pid": np.arange(300),
+        }
+    )
+    lo = rng.integers(0, 9_000, 80).astype("int64")
+    iv = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 80),
+            "lo": lo,
+            "hi": lo + rng.integers(-50, 2_000, 80),  # some inverted
+            "iid": np.arange(80),
+        }
+    )
+    out = range_join(
+        spark.createDataFrame(pts),
+        spark.createDataFrame(iv),
+        point_col="x",
+        lo_col="lo",
+        hi_col="hi",
+        by="k",
+        grid=500,
+    ).toPandas()
+    con = duckdb.connect()
+    con.register("p", pts)
+    con.register("i", iv)
+    exp = con.sql(
+        "select pid, iid from p join i on p.k = i.k and p.x between i.lo and i.hi"
+    ).df()
+    got = set(zip(out["pid"], out["iid"]))
+    want = set(zip(exp["pid"], exp["iid"]))
+    assert got == want and len(out) == len(want)  # no duplicate pairs
+
+
+def test_range_join_plan_and_errors(spark):
+    pts = spark.createDataFrame([(1, 5, 1)], "k long, x long, pid long")
+    iv = spark.createDataFrame([(1, 0, 10, 1)], "k long, lo long, hi long, iid long")
+    plan = (
+        range_join(pts, iv, "x", "lo", "hi", by="k", grid=100)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    with pytest.raises(ValueError, match="grid"):
+        range_join(pts, iv, "x", "lo", "hi", by="k", grid=0)
+    with pytest.raises(ValueError, match="overlapping"):
+        range_join(pts, pts.withColumnRenamed("x", "lo").withColumnRenamed("pid", "hi"), "x", "lo", "hi")
