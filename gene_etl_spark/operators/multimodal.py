@@ -214,7 +214,7 @@ def decode_image(payload: bytes) -> dict:
             "mean_byte": float(d["pixels"].mean()),
         }
     if is_gif(payload):
-        d = decode_gif(payload)
+        d = decode_gif(payload, max_frames=1)
         return {
             "width": d["width"],
             "height": d["height"],
@@ -333,8 +333,15 @@ GIF_MAGICS = (b"GIF87a", b"GIF89a")
 _GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def is_gif(payload: bytes) -> bool:
-    return len(payload) >= 6 and payload[:6] in GIF_MAGICS
+def is_gif(payload) -> bool:
+    return bool(payload) and len(payload) >= 6 and payload[:6] in GIF_MAGICS
+
+
+def _gif_interlace_order(h: int) -> list:
+    """True scanline index of each interlaced row, pass by pass —
+    shared by encode (permute out) and decode (permute back) so the
+    round-trip cannot drift."""
+    return [r for start, step in _GIF_INTERLACE_PASSES for r in range(start, h, step)]
 
 
 def _gif_lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> list:
@@ -389,16 +396,12 @@ def _gif_lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> list:
 def _gif_deinterlace(rows: np.ndarray) -> np.ndarray:
     """Undo the four-pass interlaced row order (rows arrive pass by
     pass; put each back at its true scanline)."""
-    h = rows.shape[0]
-    order = [
-        r for start, step in _GIF_INTERLACE_PASSES for r in range(start, h, step)
-    ]
     out = np.empty_like(rows)
-    out[np.array(order)] = rows
+    out[np.array(_gif_interlace_order(rows.shape[0]))] = rows
     return out
 
 
-def decode_gif(payload: bytes) -> dict:
+def decode_gif(payload: bytes, max_frames: int | None = None) -> dict:
     """Real GIF decode using only the stdlib + numpy: header + logical
     screen descriptor, global/local color tables, graphic-control
     extensions (transparency + disposal 0/1/2), LZW-decompressed frames
@@ -407,17 +410,19 @@ def decode_gif(payload: bytes) -> dict:
 
     Returns ``{"width", "height", "n_frames",
     "frames": [np.ndarray(height, width, 3) uint8, ...]}`` — one
-    composited RGB canvas per frame, animation-ready.
+    composited RGB canvas per frame, animation-ready. ``max_frames``
+    stops after that many composited frames (n_frames then reports the
+    truncated count) — the still-image consumers' O(1-frame) path.
     """
     if not is_gif(payload):
         raise ValueError("not a GIF payload")
     try:
-        return _decode_gif_body(payload)
+        return _decode_gif_body(payload, max_frames)
     except (IndexError, struct.error) as exc:
         raise ValueError("truncated GIF payload") from exc
 
 
-def _decode_gif_body(payload: bytes) -> dict:
+def _decode_gif_body(payload: bytes, max_frames: int | None) -> dict:
     width, height = struct.unpack_from("<HH", payload, 6)
     packed, bg_idx, _aspect = struct.unpack_from("<BBB", payload, 10)
     pos = 13
@@ -461,6 +466,8 @@ def _decode_gif_body(payload: bytes) -> dict:
             raise ValueError(f"unexpected GIF block 0x{block:02x}")
 
         left, top, w, h = struct.unpack_from("<HHHH", payload, pos)
+        if left + w > width or top + h > height:
+            raise ValueError("GIF frame rect exceeds the logical screen")
         ipacked = payload[pos + 8]
         pos += 9
         palette = gct
@@ -507,6 +514,8 @@ def _decode_gif_body(payload: bytes) -> dict:
         else:
             region[:] = rgb
         frames.append(canvas.copy())
+        if max_frames is not None and len(frames) >= max_frames:
+            break
         prev_rect = (top, left, h, w, disposal)
         transparent_idx = None
         disposal = 0
@@ -572,6 +581,10 @@ def encode_gif(
     frames = [np.asarray(f, np.uint8) for f in frames]
     h, w = frames[0].shape
     n = len(palette)
+    if not 1 <= n <= 256:
+        raise ValueError(f"GIF palette must have 1-256 colors, got {n}")
+    if any(int(f.max(initial=0)) >= n for f in frames):
+        raise ValueError("frame index exceeds the palette")
     size_field = max(1, (n - 1).bit_length()) - 1  # 2 << field >= n
     while (2 << size_field) < n:
         size_field += 1
@@ -594,12 +607,7 @@ def encode_gif(
         rows = frame
         ipacked = 0
         if interlace:
-            order = [
-                r
-                for start, step in _GIF_INTERLACE_PASSES
-                for r in range(start, h, step)
-            ]
-            rows = frame[np.array(order)]
+            rows = frame[np.array(_gif_interlace_order(h))]
             ipacked |= 0x40
         out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, ipacked)
         out.append(min_code_size)

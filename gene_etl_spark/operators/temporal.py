@@ -57,8 +57,18 @@ def asof_join(
     needing a deterministic winner among equal-time right rows should
     pre-dedup (e.g. lww_dedup_agg), same contract as the merge path.
 
+    NULL handling: right rows with a null ``on`` value can never match
+    and are dropped; left rows with a null ``on`` value come back
+    unmatched. A matched right row's payload is carried ATOMICALLY
+    (one struct per right row), so a right row whose payload value is
+    legitimately NULL yields that NULL — never an older row's value.
+
     Right payload columns that collide with left column names are
     renamed with ``suffix``.
+
+    With ``by=None`` the window runs in a single partition (one task
+    sorts |L|+|R| rows) — fine for dimension-sized inputs, wrong for
+    large ones; at scale always pass the entity key.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -75,6 +85,17 @@ def asof_join(
     out_names = {c: c + suffix if c in left.columns else c for c in payload}
     matched_on = "__asof_t" + suffix
 
+    import pyspark.sql.types as T
+
+    # the matched right row travels as ONE struct (time + payload): a
+    # left row's structural null and a right row's legitimately-NULL
+    # payload field are then distinct — last(ignorenulls) lands on the
+    # nearest right ROW, whatever its field values.
+    match_type = T.StructType(
+        [T.StructField("__t", right.schema[on].dataType)]
+        + [T.StructField(out_names[c], right.schema[c].dataType) for c in payload]
+    )
+
     # ---- tag + union ---------------------------------------------------
     # side 0 sorts before side 1 at equal time; backward wants right rows
     # FIRST at a tie (<= is inclusive), forward wants them LAST in the
@@ -82,15 +103,16 @@ def asof_join(
     l_tag = left.select(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("__asof_side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(out_names[c]) for c in payload],
-        F.lit(None).cast(right.schema[on].dataType).alias(matched_on),
+        F.lit(None).cast(match_type).alias("__asof_match"),
     )
-    r_tag = right.select(
+    r_tag = right.where(F.col(on).isNotNull()).select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in (on, *by)],
         *[F.col(c) for c in (on, *by)],
         F.lit(0).alias("__asof_side"),
-        *[F.col(c).alias(out_names[c]) for c in payload],
-        F.col(on).alias(matched_on),
+        F.struct(
+            F.col(on).alias("__t"),
+            *[F.col(c).alias(out_names[c]) for c in payload],
+        ).alias("__asof_match"),
     )
     unioned = l_tag.unionByName(r_tag)
 
@@ -98,7 +120,7 @@ def asof_join(
 
     order = [F.col(on).asc(), F.col("__asof_side").asc()]
     if direction == "forward":
-        order = [F.col(on).desc(), F.col("__asof_side").asc()]
+        order = [F.col(on).desc_nulls_first(), F.col("__asof_side").asc()]
     w = (
         Window.partitionBy(*[F.col(c) for c in by])
         .orderBy(*order)
@@ -108,27 +130,23 @@ def asof_join(
     filled = unioned.select(
         *[F.col(c) for c in left.columns],
         F.col("__asof_side").alias("__asof_side"),
-        *[F.last(out_names[c], ignorenulls=True).over(w).alias(out_names[c]) for c in payload],
-        F.last(matched_on, ignorenulls=True).over(w).alias(matched_on),
+        F.last("__asof_match", ignorenulls=True).over(w).alias("__asof_match"),
     )
-    out = filled.where(F.col("__asof_side") == 1).drop("__asof_side")
-
+    m = F.col("__asof_match")
+    keep = F.col(on).isNotNull() & m.isNotNull()
     if tolerance is not None:
         delta = (
-            F.col(on) - F.col(matched_on)
-            if direction == "backward"
-            else F.col(matched_on) - F.col(on)
+            F.col(on) - m["__t"] if direction == "backward" else m["__t"] - F.col(on)
         )
-        keep = F.col(matched_on).isNotNull() & (delta <= F.lit(tolerance))
-        out = out.select(
+        keep = keep & (delta <= F.lit(tolerance))
+    return (
+        filled.where(F.col("__asof_side") == 1)
+        .select(
             *[F.col(c) for c in left.columns],
-            *[
-                F.when(keep, F.col(out_names[c])).alias(out_names[c])
-                for c in payload
-            ],
-            F.when(keep, F.col(matched_on)).alias(matched_on),
+            *[F.when(keep, m[out_names[c]]).alias(out_names[c]) for c in payload],
+            F.when(keep, m["__t"]).alias(matched_on),
         )
-    return out
+    )
 
 
 def range_join(

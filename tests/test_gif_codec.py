@@ -102,6 +102,35 @@ def test_malformed_and_unsupported_raise():
         _gif_lzw_decode(2, bytes([4 | 7 << 3]), 4)
 
 
+def test_encoder_validates_palette_and_indices():
+    palette, frames = _corpus()
+    assert not is_gif(None) and not is_gif(b"")
+    with pytest.raises(ValueError, match="1-256"):
+        encode_gif(frames, np.zeros((300, 3), np.uint8))
+    with pytest.raises(ValueError, match="exceeds the palette"):
+        encode_gif([np.full((4, 4), 9, np.uint8)], palette[:8])
+
+
+def test_frame_rect_outside_screen_raises():
+    palette, frames = _corpus(n_frames=1)
+    payload = bytearray(encode_gif(frames, palette))
+    # image descriptor sits right after header(6)+LSD(7)+GCT; patch its
+    # 'left' field so left+w overruns the 9-px logical screen
+    desc = 13 + 3 * (2 << (payload[10] & 0x07))
+    assert payload[desc] == 0x2C
+    payload[desc + 1 : desc + 3] = (5).to_bytes(2, "little")
+    with pytest.raises(ValueError, match="exceeds the logical screen"):
+        decode_gif(bytes(payload))
+
+
+def test_max_frames_truncates_decode():
+    palette, frames = _corpus(n_frames=5)
+    payload = encode_gif(frames, palette)
+    d = decode_gif(payload, max_frames=1)
+    assert d["n_frames"] == 1
+    assert np.array_equal(d["frames"][0], palette[frames[0]])
+
+
 def test_decode_image_dispatches_gif_first_frame():
     palette, frames = _corpus()
     payload = encode_gif(frames, palette)

@@ -21,19 +21,33 @@ def _corpora(seed=13, n_left=400, n_right=150, n_keys=7):
         }
     )
     # unique (k, t) on the right: equal-time right duplicates are
-    # documented as caller-dedup territory (same contract as merge)
+    # documented as caller-dedup territory (same contract as merge).
+    # ~20% of rval is genuinely NULL, and a second non-null column rtag
+    # rides along: a per-column (non-atomic) fill would skip the NULL
+    # rval back to an older row and pair it with the newer rtag.
     right = (
         pd.DataFrame(
             {
                 "k": rng.integers(0, n_keys, n_right),
                 "t": rng.integers(0, 1000, n_right).astype("int64"),
-                "rval": rng.integers(0, 10**6, n_right),
+                "rval": rng.integers(0, 10**6, n_right).astype("object"),
             }
         )
         .drop_duplicates(["k", "t"])
         .reset_index(drop=True)
     )
+    right.loc[rng.random(len(right)) < 0.2, "rval"] = None
+    right["rval"] = right["rval"].map(lambda v: None if v is None else float(v))
+    right["rtag"] = [f"r{i}" for i in range(len(right))]
     return left, right
+
+
+def _spark_right(spark, right):
+    rows = [
+        (int(k), int(t), None if v is None else float(v), s)
+        for k, t, v, s in right.itertuples(index=False)
+    ]
+    return spark.createDataFrame(rows, "k long, t long, rval double, rtag string")
 
 
 def _duck_asof(left, right, op):
@@ -42,7 +56,7 @@ def _duck_asof(left, right, op):
     con.register("r", right)
     return con.sql(
         f"""
-        select l.k, l.t, l.lval, r.rval as rval, r.t as matched
+        select l.k, l.t, l.lval, r.rval as rval, r.rtag as rtag, r.t as matched
         from l asof left join r on l.k = r.k and l.t {op} r.t
         order by l.k, l.t, l.lval
         """
@@ -58,7 +72,7 @@ def test_asof_parity_with_duckdb(spark, direction, op):
     left, right = _corpora()
     out = asof_join(
         spark.createDataFrame(left),
-        spark.createDataFrame(right),
+        _spark_right(spark, right),
         on="t",
         by="k",
         direction=direction,
@@ -66,12 +80,13 @@ def test_asof_parity_with_duckdb(spark, direction, op):
     out = _sorted(out).rename(columns={"__asof_t_right": "matched"})
     exp = _sorted(_duck_asof(left, right, op))
     assert len(out) == len(left)
-    pd.testing.assert_series_equal(
-        out["rval"].astype("float64"), exp["rval"].astype("float64"), check_names=False
-    )
-    pd.testing.assert_series_equal(
-        out["matched"].astype("float64"), exp["matched"].astype("float64"), check_names=False
-    )
+    for col in ("rval", "matched"):
+        pd.testing.assert_series_equal(
+            out[col].astype("float64"), exp[col].astype("float64"), check_names=False
+        )
+    # rtag must come from the SAME right row as rval/matched — a
+    # per-column fill would mix rows whenever rval is NULL mid-series
+    assert out["rtag"].fillna("∅").tolist() == exp["rtag"].fillna("∅").tolist()
 
 
 def test_asof_equal_time_is_inclusive_and_suffix_applies(spark):
@@ -112,11 +127,42 @@ def test_asof_unmatched_left_rows_survive_with_nulls(spark):
     assert fwd[1]["rv"] == 1.0 and fwd[2]["rv"] is None
 
 
+def test_asof_null_on_rows_never_match(spark):
+    left = spark.createDataFrame(
+        [(1, 25), (1, 5), (1, None), (2, 50)], "k long, t long"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 10, 5.0, "a"),
+            (1, 20, None, "b"),  # true backward match for t=25: NULL rval
+            (1, None, 9.0, "z"),  # null event time: never a match
+            (2, None, 1.0, "y"),
+        ],
+        "k long, t long, rval double, rtag string",
+    )
+    out = {
+        (r["k"], r["t"]): r for r in asof_join(left, right, on="t", by="k").collect()
+    }
+    row = out[(1, 25)]  # atomic match: legit-NULL rval, rtag from SAME row
+    assert row["rval"] is None and row["rtag"] == "b"
+    assert row["__asof_t_right"] == 20
+    assert out[(1, 5)]["rtag"] is None  # nothing at-or-before t=5
+    assert out[(1, None)]["rtag"] is None  # null left time: unmatched
+    assert out[(2, 50)]["rtag"] is None  # only a null-time right row
+    fwd = {
+        (r["k"], r["t"]): r
+        for r in asof_join(left, right, on="t", by="k", direction="forward").collect()
+    }
+    assert fwd[(1, 5)]["rtag"] == "a"
+    assert fwd[(1, None)]["rtag"] is None
+    assert fwd[(1, 25)]["rtag"] is None and fwd[(2, 50)]["rtag"] is None
+
+
 def test_asof_plan_has_no_nested_loop(spark):
     left, right = _corpora()
     plan = (
         asof_join(
-            spark.createDataFrame(left), spark.createDataFrame(right), on="t", by="k"
+            spark.createDataFrame(left), _spark_right(spark, right), on="t", by="k"
         )
         ._jdf.queryExecution()
         .executedPlan()
