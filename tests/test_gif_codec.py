@@ -7,6 +7,8 @@ animation frames, not payload bytes."""
 
 import numpy as np
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from gene_etl_spark.operators.multimodal import (
     FRAME_BYTES,
@@ -80,6 +82,48 @@ def test_lzw_kwkwk_corner():
         packed |= c << (i * width)
     data = packed.to_bytes((len(codes) * width + 7) // 8, "little")
     assert _gif_lzw_decode(2, data, 3) == [0, 0, 0]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n_colors=st.integers(2, 256),
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    n_frames=st.integers(1, 4),
+    interlace=st.booleans(),
+    transparent=st.booleans(),
+    disposal=st.sampled_from([0, 1, 2]),
+)
+def test_roundtrip_fuzz(seed, n_colors, w, h, n_frames, interlace, transparent, disposal):
+    """Any encode parameter combination must decode back to the frames
+    the reference compositor predicts — the LZW width growth, interlace
+    permutation, and disposal/transparency state machine all fuzzed."""
+    rng = np.random.default_rng(seed)
+    palette = rng.integers(0, 256, size=(n_colors, 3), dtype=np.uint8)
+    frames = [
+        rng.integers(0, n_colors, size=(h, w), dtype=np.uint8)
+        for _ in range(n_frames)
+    ]
+    tidx = int(rng.integers(0, n_colors)) if transparent else None
+    payload = encode_gif(
+        frames, palette, transparent_idx=tidx, interlace=interlace, disposal=disposal
+    )
+    d = decode_gif(payload)
+    assert (d["width"], d["height"], d["n_frames"]) == (w, h, n_frames)
+    bg = np.broadcast_to(palette[0], (h, w, 3))
+    canvas = bg.copy()
+    for i, (f_idx, f_dec) in enumerate(zip(frames, d["frames"])):
+        if tidx is not None:
+            mask = f_idx != tidx
+            canvas[mask] = palette[f_idx][mask]
+        else:
+            canvas[:] = palette[f_idx]
+        assert np.array_equal(f_dec, canvas), f"frame {i}"
+        # the encoder writes a GCE (carrying `disposal`) for every frame
+        # except an opaque frame 0 — whose disposal therefore defaults 0
+        if disposal == 2 and (i > 0 or tidx is not None):
+            canvas = bg.copy()
 
 
 def test_malformed_and_unsupported_raise():
