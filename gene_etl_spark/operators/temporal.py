@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["asof_join", "range_join"]
+__all__ = ["asof_join", "interval_join", "range_join", "sessionize"]
 
 
 def asof_join(
@@ -188,3 +188,91 @@ def range_join(
         (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) <= F.col(hi_col))
     )
     return joined.drop("__cell")
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    by: list[str] | str | None = None,
+    grid: int = 1000,
+) -> DataFrame:
+    """Inner join of every ``left`` interval to every ``right`` interval
+    it overlaps ([lo, hi] closed on both ends, plus equal ``by`` keys).
+
+    Same grid equi-expansion as ``range_join``, on BOTH sides — and the
+    same exactly-once trick the LSH band join uses: two overlapping
+    intervals share every cell of their intersection, so the pair is
+    emitted only at the FIRST shared cell, ``floor(max(lo_l, lo_r) /
+    grid)``. Output carries no duplicates without any ``distinct()``
+    (no extra shuffle). Inverted intervals (lo > hi) match nothing.
+    """
+    by = [by] if isinstance(by, str) else list(by or [])
+    overlap = set(left.columns) & set(right.columns) - set(by)
+    if overlap:
+        raise ValueError(f"overlapping non-key columns: {sorted(overlap)}")
+    if grid <= 0:
+        raise ValueError("grid must be positive")
+
+    def explode_cells(df, lo, hi):
+        lo_cell = F.floor(F.col(lo) / grid).cast("long")
+        hi_cell = F.floor(F.col(hi) / grid).cast("long")
+        return df.where(F.col(lo) <= F.col(hi)).withColumn(
+            "__cell", F.explode(F.sequence(lo_cell, hi_cell))
+        )
+
+    l = explode_cells(left, left_lo, left_hi)
+    r = explode_cells(right, right_lo, right_hi)
+    first_shared = F.floor(
+        F.greatest(F.col(left_lo), F.col(right_lo)) / grid
+    ).cast("long")
+    joined = l.join(r, [*by, "__cell"], "inner").where(
+        (F.col(left_lo) <= F.col(right_hi))
+        & (F.col(right_lo) <= F.col(left_hi))
+        & (F.col("__cell") == first_shared)
+    )
+    return joined.drop("__cell")
+
+
+def sessionize(
+    df: DataFrame,
+    on: str,
+    by: list[str] | str,
+    gap: int | float,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Gap-based sessionization: rows within ``by`` whose ``on`` values
+    are more than ``gap`` apart start a new session. Adds ``session_col``
+    = the session's FIRST ``on`` value (stable across reprocessing —
+    never an ordinal that shifts when earlier data arrives late).
+
+    One window per key (lag → new-session flag → running max of session
+    starts): a single hash shuffle on ``by`` plus a per-partition sort,
+    the batch twin of the streaming session windows in
+    streaming/windowed.py. Rows with a null ``on`` get a null session.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    if not by:
+        raise ValueError("sessionize requires at least one 'by' key")
+    if gap <= 0:
+        raise ValueError("gap must be positive")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(F.col(on).asc())
+    prev = F.lag(F.col(on)).over(w)
+    is_start = prev.isNull() | ((F.col(on) - prev) > F.lit(gap))
+    start_val = F.when(is_start, F.col(on))
+    running = Window.partitionBy(*[F.col(c) for c in by]).orderBy(
+        F.col(on).asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = df.where(F.col(on).isNotNull()).withColumn(
+        session_col, F.max(start_val).over(running)
+    )
+    nulls = df.where(F.col(on).isNull()).withColumn(
+        session_col, F.lit(None).cast(df.schema[on].dataType)
+    )
+    return out.unionByName(nulls)

@@ -237,3 +237,98 @@ def test_range_join_plan_and_errors(spark):
         range_join(pts, iv, "x", "lo", "hi", by="k", grid=0)
     with pytest.raises(ValueError, match="overlapping"):
         range_join(pts, pts.withColumnRenamed("x", "lo").withColumnRenamed("pid", "hi"), "x", "lo", "hi")
+
+
+def test_interval_join_parity_and_exactly_once(spark):
+    from gene_etl_spark.operators.temporal import interval_join
+
+    rng = np.random.default_rng(41)
+    n_l, n_r = 120, 90
+    llo = rng.integers(0, 8_000, n_l).astype("int64")
+    lft = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, n_l),
+            "llo": llo,
+            "lhi": llo + rng.integers(-100, 3_000, n_l),  # some inverted
+            "lid": np.arange(n_l),
+        }
+    )
+    rlo = rng.integers(0, 8_000, n_r).astype("int64")
+    rgt = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, n_r),
+            "rlo": rlo,
+            "rhi": rlo + rng.integers(-100, 3_000, n_r),
+            "rid": np.arange(n_r),
+        }
+    )
+    out = interval_join(
+        spark.createDataFrame(lft),
+        spark.createDataFrame(rgt),
+        "llo", "lhi", "rlo", "rhi",
+        by="k",
+        grid=700,
+    ).toPandas()
+    con = duckdb.connect()
+    con.register("l", lft)
+    con.register("r", rgt)
+    exp = con.sql(
+        """
+        select lid, rid from l join r
+        on l.k = r.k and l.llo <= r.rhi and r.rlo <= l.lhi
+        and l.llo <= l.lhi and r.rlo <= r.rhi
+        """
+    ).df()
+    got = list(zip(out["lid"], out["rid"]))
+    assert len(got) == len(set(got)), "duplicate pairs emitted"
+    assert set(got) == set(zip(exp["lid"], exp["rid"]))
+
+
+def test_sessionize_parity_with_duckdb(spark):
+    from gene_etl_spark.operators.temporal import sessionize
+
+    rng = np.random.default_rng(53)
+    ev = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 300),
+            "t": rng.integers(0, 3_000, 300).astype("int64"),
+            "eid": np.arange(300),
+        }
+    ).drop_duplicates(["k", "t"])
+    gap = 40
+    out = (
+        sessionize(spark.createDataFrame(ev), on="t", by="k", gap=gap)
+        .toPandas()
+        .sort_values(["k", "t"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("ev", ev)
+    exp = con.sql(
+        f"""
+        with x as (select k, t, eid, lag(t) over (partition by k order by t) pt from ev),
+        y as (select k, t, eid, case when pt is null or t - pt > {gap} then t end sv from x)
+        select k, t, eid, max(sv) over (
+            partition by k order by t rows between unbounded preceding and current row
+        ) as session_id from y order by k, t
+        """
+    ).df()
+    assert out["session_id"].tolist() == exp["session_id"].astype("int64").tolist()
+    # session starts are the stable ids: every session's id == its min t
+    mins = out.groupby(["k", "session_id"])["t"].min()
+    assert (mins.index.get_level_values("session_id") == mins.values).all()
+
+
+def test_sessionize_null_times_and_validation(spark):
+    from gene_etl_spark.operators.temporal import sessionize
+
+    df = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, None), (1, 100)], "k long, t long"
+    )
+    rows = {r["t"]: r["session_id"] for r in sessionize(df, "t", "k", gap=30).collect()}
+    assert rows[10] == 10 and rows[20] == 10 and rows[100] == 100
+    assert rows[None] is None
+    with pytest.raises(ValueError, match="gap"):
+        sessionize(df, "t", "k", gap=0)
+    with pytest.raises(ValueError, match="by"):
+        sessionize(df, "t", [], gap=10)
