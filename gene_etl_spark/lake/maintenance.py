@@ -26,6 +26,40 @@ def read_at_version(table: LakeTable, version: int) -> DataFrame:
     return table.read(manifest=table._read_manifest(version))
 
 
+def version_at(table: LakeTable, ts_ms: int) -> int:
+    """Latest LIVE snapshot committed at or before ``ts_ms`` (the
+    Iceberg timestamp-time-travel resolution rule). Expired snapshots
+    are never returned — their data pins are gone, so a read against
+    them could reference vacuumed files. Raises ``ValueError`` when the
+    oldest live snapshot postdates ``ts_ms``."""
+    import re
+
+    best = None
+    mdir = os.path.join(table.path, MANIFEST_DIR)
+    for fn in os.listdir(mdir):
+        m = re.fullmatch(r"v(\d+)\.json", fn)
+        if not m:
+            continue
+        with open(os.path.join(mdir, fn)) as f:
+            committed = json.load(f).get("committed_at_ms")
+        if committed is not None and committed <= ts_ms:
+            v = int(m.group(1))
+            if best is None or v > best:
+                best = v
+    if best is None:
+        raise ValueError(
+            f"no live snapshot of {table.path} at or before ts_ms={ts_ms}"
+        )
+    return best
+
+
+def read_at_ts(table: LakeTable, ts_ms: int) -> DataFrame:
+    """Timestamp time travel: scan the snapshot that was current at
+    ``ts_ms`` (wall-clock of the commit, not event time — the LSN/event
+    dimension travels via ``cdc_changes``/``read_at_version``)."""
+    return read_at_version(table, version_at(table, ts_ms))
+
+
 def compact(
     table: LakeTable,
     max_files_per_bucket: int = 1,

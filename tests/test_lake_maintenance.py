@@ -65,3 +65,41 @@ def test_time_travel_and_maintenance(spark, workdir):
     # fencing history survives expiry: committed batches still known
     assert len(table.committed_batches()) >= 4
     assert runner.ledger.resume_lsn(table) == 3000
+
+
+def test_timestamp_time_travel(spark, workdir):
+    import pytest
+
+    from gene_etl_spark.lake.maintenance import read_at_ts, version_at
+
+    runner, cfg = _build(spark, workdir)
+    table = runner.table
+    history = table.history()
+    by_version = {m["version"]: m["committed_at_ms"] for m in history}
+    v_final = table.version
+
+    # at the final commit's wall-clock: the final snapshot
+    assert version_at(table, by_version[v_final]) == v_final
+    # the far future resolves to the latest snapshot too
+    assert version_at(table, by_version[v_final] + 10**9) == v_final
+    # each live snapshot's own timestamp resolves to it or a later
+    # same-instant commit, never an earlier one
+    for v, ms in by_version.items():
+        assert version_at(table, ms) >= v
+    # before the very first snapshot (v0, table create) there is
+    # nothing to read
+    v_first = min(by_version)
+    with pytest.raises(ValueError, match="no live snapshot"):
+        version_at(table, by_version[v_first] - 1)
+
+    # content: reading at the final timestamp equals the live read
+    assert_replay_equal(
+        read_at_ts(table, by_version[v_final]).toPandas(),
+        materialize_expected(cfg.events_path),
+    )
+
+    # expired snapshots stop resolving (their data pins are gone)
+    expire_snapshots(table, keep_last=1)
+    with pytest.raises(ValueError, match="no live snapshot"):
+        version_at(table, by_version[1])
+    assert version_at(table, by_version[v_final]) == v_final
