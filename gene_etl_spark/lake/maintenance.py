@@ -142,6 +142,76 @@ def compact(
     }
 
 
+def rebucket(table: LakeTable, new_num_buckets: int) -> dict:
+    """Partition-spec evolution: rewrite the table under a new bucket
+    count (Iceberg's ``bucket(N, key)`` spec-change analogue) — the
+    growth path when data outruns its layout (a table created at 8
+    buckets crossing into TB territory wants 64+ so merges, point
+    lookups, and index probes keep their per-bucket bounds).
+
+    Necessarily a full-table rewrite (every row re-hashes), committed
+    as ONE snapshot: resolved rows (MoR deltas folded) land in fresh
+    base files, deltas clear, per-file key/LSN bounds recomputed, and
+    the manifest's ``num_buckets`` flips — every subsequent merge and
+    lookup derives bucketing from the manifest, so the change is
+    self-propagating. The commit touches every bucket, so any
+    concurrent commit conflicts and the rebase refuses (safe). The CDC
+    change feed spans a ``rebucket`` commit silently (no logical row
+    changes), same as compaction — index consumers never notice.
+    """
+    if new_num_buckets < 1:
+        raise ValueError("new_num_buckets must be >= 1")
+    manifest = table.manifest
+    if new_num_buckets == table.num_buckets:
+        return {"rebucketed": False, "snapshot_version": manifest["version"]}
+
+    from gene_etl_spark.functions import bucket_of
+    from gene_etl_spark.lake.table import LSN_COL
+
+    df = table.read(include_meta=True).withColumn(
+        BUCKET_COL, bucket_of(table.key_cols[0], new_num_buckets)
+    )
+    version = manifest["version"] + 1
+    rel_commit = table._new_commit_dir(version)
+    abs_commit = os.path.join(table.path, rel_commit)
+    (
+        df.repartition(new_num_buckets, F.col(BUCKET_COL))
+        .write.partitionBy(BUCKET_COL)
+        .mode("overwrite")
+        .parquet(abs_commit)
+    )
+    bucket_files = table._list_bucket_files(abs_commit, rel_commit)
+    both = table._collect_file_stats_multi(bucket_files, [table.key_cols[0], LSN_COL])
+    new_manifest = {
+        **manifest,
+        "version": version,
+        "parent": manifest["version"],
+        "num_buckets": new_num_buckets,
+        "files": {b: fs for b, fs in bucket_files.items()},
+        "deltas": {},
+        "file_stats": both[table.key_cols[0]],
+        "lsn_stats": both[LSN_COL],
+        "properties": {},
+        "summary": {
+            "operation": "rebucket",
+            "total_rows": manifest["summary"].get("total_rows"),
+            "from_num_buckets": manifest["num_buckets"],
+            "to_num_buckets": new_num_buckets,
+        },
+        "committed_at_ms": int(time.time() * 1000),
+    }
+    old_buckets = sorted(
+        {int(b) for b in manifest.get("files", {})}
+        | {int(b) for b in (manifest.get("deltas", {}) or {})}
+    )
+    committed = table.commit_with_rebase(new_manifest, old_buckets)
+    return {
+        "rebucketed": True,
+        "snapshot_version": committed["version"],
+        "num_buckets": new_num_buckets,
+    }
+
+
 def compact_if_needed(
     table: LakeTable,
     max_delta_files: int = 4,
