@@ -1,0 +1,86 @@
+"""spark-submit entry point for lake-table maintenance.
+
+The operational half of the lake layer (the Iceberg maintenance-
+procedures analogue — reference: the ETL's persistence layer has no
+table upkeep at all; this is the 10^10-event operability the north
+rule's continuous ingest implies):
+
+    spark-submit --py-files dist/gene_etl_spark.zip jobs/maintenance_job.py \
+        --table /data/warehouse/transcripts compact [--max-files 1]
+
+    ... expire [--keep-last 10]
+    ... vacuum [--older-than-sec 600] [--dry-run]
+    ... rebucket --num-buckets 256
+    ... snapshots            # history + timestamp-travel resolution table
+
+Each subcommand prints ONE JSON line so schedulers can parse results.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="lake table maintenance")
+    ap.add_argument("--table", required=True, help="lake table path")
+    ap.add_argument("--cores", type=int, default=None, help="local mode only")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("compact", help="rewrite fragmented/delta-carrying buckets")
+    p.add_argument("--max-files", type=int, default=1)
+
+    p = sub.add_parser("expire", help="expire old snapshots (fencing history kept)")
+    p.add_argument("--keep-last", type=int, default=10)
+
+    p = sub.add_parser("vacuum", help="reclaim files no live snapshot references")
+    p.add_argument("--older-than-sec", type=float, default=600.0)
+    p.add_argument("--dry-run", action="store_true")
+
+    p = sub.add_parser("rebucket", help="partition-spec evolution: new bucket count")
+    p.add_argument("--num-buckets", type=int, required=True)
+
+    sub.add_parser("snapshots", help="list live snapshots (version, ts, operation)")
+
+    args = ap.parse_args()
+
+    from gene_etl_spark.lake import maintenance
+    from gene_etl_spark.lake.table import LakeTable
+    from gene_etl_spark.session import get_spark
+
+    spark = get_spark(app_name=f"maintenance-{args.cmd}", cores=args.cores)
+    table = LakeTable.load(spark, args.table)
+
+    if args.cmd == "compact":
+        out = maintenance.compact(table, max_files_per_bucket=args.max_files)
+    elif args.cmd == "expire":
+        out = maintenance.expire_snapshots(table, keep_last=args.keep_last)
+    elif args.cmd == "vacuum":
+        out = maintenance.vacuum(
+            table, dry_run=args.dry_run, older_than_sec=args.older_than_sec
+        )
+    elif args.cmd == "rebucket":
+        out = maintenance.rebucket(table, args.num_buckets)
+    else:  # snapshots
+        rows = [
+            {
+                "version": m["version"],
+                "committed_at_ms": m.get("committed_at_ms"),
+                "operation": (m.get("summary") or {}).get("operation"),
+                "live": os.path.exists(table._manifest_path(m["version"])),
+            }
+            for m in table.history()
+        ]
+        out = {"table": args.table, "snapshots": rows}
+
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
