@@ -17,7 +17,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from gene_etl_spark.lake.merge import BUCKET_COL
-from gene_etl_spark.lake.table import DATA_DIR, MANIFEST_DIR, LakeTable
+from gene_etl_spark.lake.table import (
+    DATA_DIR,
+    MANIFEST_DIR,
+    PIECE_DIR,
+    STAGED_DIR,
+    LakeTable,
+)
 
 
 def read_at_version(table: LakeTable, version: int) -> DataFrame:
@@ -269,18 +275,46 @@ def vacuum(
     when the caller owns exclusive write access."""
     now = time.time()
     live: set[str] = set()
+    live_pieces: set[str] = set()
     mdir = os.path.join(table.path, MANIFEST_DIR)
-    for fn in os.listdir(mdir):
-        if not fn.endswith(".json"):
-            continue
-        with open(os.path.join(mdir, fn)) as f:
-            m = json.load(f)
-        if fn.endswith(".expired.json"):
-            continue  # expired snapshots no longer pin files
-        for rels in m.get("files", {}).values():
+    sdir = os.path.join(table.path, STAGED_DIR)
+    pinning = [
+        os.path.join(mdir, fn)
+        for fn in os.listdir(mdir)
+        if fn.endswith(".json") and not fn.endswith(".expired.json")
+    ]
+    if os.path.isdir(sdir):  # unpublished WAP snapshots pin their files
+        pinning += [
+            os.path.join(sdir, fn)
+            for fn in os.listdir(sdir)
+            if fn.endswith(".json") and ".tmp-" not in fn
+        ]
+    for path in pinning:
+        with open(path) as f:
+            m = table._inflate(json.load(f))
+        for rel, _flags in (m.get("pieces", {}) or {}).values():
+            live_pieces.add(os.path.basename(rel))
+        for rels in (m.get("files", {}) or {}).values():
             live.update(rels)
         for rels in (m.get("deltas", {}) or {}).values():
             live.update(rels)  # MoR delta files are live data
+    # piece GC: content-addressed piece files referenced by no live
+    # snapshot (orphans of losing/crashed writers, or pinned only by
+    # expired snapshots — whose metadata pins die with their data pins).
+    # Same concurrent-writer grace window as data files: an in-flight
+    # commit writes its pieces before its manifest link lands.
+    pieces_removed = 0
+    pdir = os.path.join(table.path, PIECE_DIR)
+    if os.path.isdir(pdir):
+        for fn in os.listdir(pdir):
+            full = os.path.join(pdir, fn)
+            if (
+                fn not in live_pieces
+                and now - os.path.getmtime(full) >= older_than_sec
+            ):
+                pieces_removed += 1
+                if not dry_run:
+                    os.unlink(full)
     removed = 0
     ddir = os.path.join(table.path, DATA_DIR)
     for root, _dirs, files in os.walk(ddir):
@@ -295,4 +329,8 @@ def vacuum(
         for root, dirs, files in list(os.walk(ddir, topdown=False)):
             if not dirs and not files and root != ddir:
                 os.rmdir(root)
-    return {"removed_files": removed, "live_files": len(live)}
+    return {
+        "removed_files": removed,
+        "live_files": len(live),
+        "removed_pieces": pieces_removed,
+    }

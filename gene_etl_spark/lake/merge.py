@@ -76,6 +76,9 @@ class MergeResult:
     wall_ms: int = 0
     partition_counters: list[dict] = field(default_factory=list)
     timings: dict = field(default_factory=dict)
+    # WAP: set when the merge was parked as a staged (unpublished)
+    # snapshot — snapshot_version is then provisional until publish
+    stage_id: str | None = None
 
 
 def merge_into(
@@ -90,6 +93,7 @@ def merge_into(
     end_lsn: int | None = None,
     mode: str = "cow",
     pre_commit_gate=None,
+    stage_id: str | None = None,
 ) -> MergeResult:
     """mode='cow' rewrites touched buckets (read-optimized); mode='mor'
     appends per-bucket delta files with ops+LSNs retained (write-
@@ -103,11 +107,21 @@ def merge_into(
     any data file or manifest is written: raising from it aborts the
     merge with the lake untouched. This is what lets the runner fuse
     pre-validation into the dedup pass instead of scanning the slice
-    twice."""
+    twice.
+
+    ``stage_id`` switches the commit to write-audit-publish staging: the
+    merge runs in full (data files, pieces, counters) but the snapshot
+    is parked under ``_manifests/staged/{stage_id}.json`` instead of
+    entering the version chain — invisible to readers until
+    ``lake.wap.publish_staged`` commits it (or ``abandon_staged`` drops
+    it). Complements ``pre_commit_gate``: the gate aborts on slice-level
+    metrics before anything is written; WAP lets an auditor query the
+    REAL merged files before they become the table."""
     if mode == "mor":
         return _merge_mor(
             table, updates, batch_id=batch_id, op_col=op_col, lsn_col=lsn_col,
             start_lsn=start_lsn, end_lsn=end_lsn, pre_commit_gate=pre_commit_gate,
+            stage_id=stage_id,
         )
     from gene_etl_spark.lake.table import LSN_COL
 
@@ -311,8 +325,12 @@ def merge_into(
         },
         "committed_at_ms": int(time.time() * 1000),
     }
-    committed = table.commit_with_rebase(new_manifest, touched)
-    res.snapshot_version = committed["version"]
+    if stage_id is not None:
+        table._commit_staged(new_manifest, touched, stage_id)
+        res.stage_id = stage_id
+    else:
+        committed = table.commit_with_rebase(new_manifest, touched)
+        res.snapshot_version = committed["version"]
     res.wall_ms = int((time.time() - t0) * 1000)
     res.timings = timings
     return res
@@ -328,6 +346,7 @@ def _merge_mor(
     start_lsn: int | None,
     end_lsn: int | None,
     pre_commit_gate=None,
+    stage_id: str | None = None,
 ) -> MergeResult:
     """Merge-on-read: append the (deduped) slice as per-bucket delta
     files — payload + _lsn + _op, tombstones included. No target scan,
@@ -473,8 +492,12 @@ def _merge_mor(
         },
         "committed_at_ms": int(time.time() * 1000),
     }
-    committed = table.commit_with_rebase(new_manifest, touched, append_only=True)
-    res.snapshot_version = committed["version"]
+    if stage_id is not None:
+        table._commit_staged(new_manifest, touched, stage_id, append_only=True)
+        res.stage_id = stage_id
+    else:
+        committed = table.commit_with_rebase(new_manifest, touched, append_only=True)
+        res.snapshot_version = committed["version"]
     res.wall_ms = int((time.time() - t0) * 1000)
     res.timings = timings
     return res

@@ -33,10 +33,13 @@ Iceberg's metadata layer.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import re
 import time
 import uuid
+from collections.abc import Mapping
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -45,9 +48,85 @@ from pyspark.sql import types as T
 from gene_etl_spark.functions import bucket_of
 
 MANIFEST_DIR = "_manifests"
+PIECE_DIR = os.path.join(MANIFEST_DIR, "pieces")
+STAGED_DIR = os.path.join(MANIFEST_DIR, "staged")
 DATA_DIR = "data"
 LSN_COL = "_lsn"  # hidden per-row last-writer LSN, enables cross-batch LWW
 OP_COL = "_op"  # delta files only: I/U/D (tombstones live in deltas)
+
+# manifest fields that live in per-bucket piece files (format 2)
+_PIECE_FIELDS = ("files", "deltas", "file_stats", "lsn_stats")
+_BUCKET_OF_REL = re.compile(r"(?:^|/)bucket_id=([^/]+)/")
+
+
+class _PieceView(Mapping):
+    """Read-only view of one piece-backed manifest field.
+
+    Format-2 manifests store per-bucket metadata (file lists + per-file
+    stats) in immutable content-addressed piece files; the snapshot
+    manifest itself holds only a bucket -> piece pointer map. This view
+    reconstructs the format-1 inline mapping LAZILY: key enumeration for
+    ``files``/``deltas`` comes from the pointer flags (no I/O), and a
+    ``__getitem__`` loads exactly the one piece that owns the key — so a
+    bucket-pruned read or point lookup touches one piece, never the
+    table's whole file inventory. Stats fields are keyed by relative
+    file path; the owning bucket is parsed from the path's
+    ``bucket_id=`` component (every data file is written via
+    ``partitionBy(bucket_id)``). Full iteration (a CoW commit's
+    carry-forward copy) loads each piece once, amortized by the table's
+    piece cache. Accessing a piece that vacuum reclaimed (possible only
+    via an EXPIRED snapshot's manifest) raises FileNotFoundError — the
+    same contract as its vacuumed data files.
+    """
+
+    __slots__ = ("_tbl", "_pieces", "_field")
+
+    def __init__(self, tbl: "LakeTable", pieces: dict, field: str):
+        self._tbl = tbl
+        self._pieces = pieces
+        self._field = field
+
+    def _bucket_keys(self):
+        flag = self._field[0]  # 'f' / 'd'
+        return [b for b, ent in self._pieces.items() if flag in ent[1]]
+
+    def __iter__(self):
+        if self._field in ("files", "deltas"):
+            yield from self._bucket_keys()
+        else:
+            for b in self._pieces:
+                yield from self._tbl._load_piece(self._pieces[b][0]).get(
+                    self._field, {}
+                )
+
+    def __len__(self):
+        if self._field in ("files", "deltas"):
+            return len(self._bucket_keys())
+        return sum(1 for _ in self)
+
+    def __bool__(self):
+        # cheap truthiness: never force a full piece load just to pass
+        # an ``or {}`` guard (stats views report truthy whenever pieces
+        # exist; emptiness then resolves per-key, which is lazy)
+        if self._field in ("files", "deltas"):
+            return bool(self._bucket_keys())
+        return bool(self._pieces)
+
+    def __getitem__(self, key):
+        if self._field in ("files", "deltas"):
+            ent = self._pieces.get(key)
+            if ent is None or self._field[0] not in ent[1]:
+                raise KeyError(key)
+            return self._tbl._load_piece(ent[0]).get(self._field, [])
+        m = _BUCKET_OF_REL.search(key)
+        if m and m.group(1) in self._pieces:
+            piece = self._tbl._load_piece(self._pieces[m.group(1)][0])
+            return piece.get(self._field, {})[key]
+        for b in self._pieces:  # path without a bucket component: scan
+            piece = self._tbl._load_piece(self._pieces[b][0])
+            if key in piece.get(self._field, {}):
+                return piece[self._field][key]
+        raise KeyError(key)
 
 
 class CommitConflict(RuntimeError):
@@ -149,9 +228,38 @@ class LakeTable:
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self.path, MANIFEST_DIR, f"v{version}.json")
 
-    def _read_manifest(self, version: int) -> dict:
+    def _read_manifest_raw(self, version: int) -> dict:
         with open(self._manifest_path(version)) as f:
             return json.load(f)
+
+    def _read_manifest(self, version: int) -> dict:
+        return self._inflate(self._read_manifest_raw(version))
+
+    def _inflate(self, raw: dict) -> dict:
+        """Present a manifest in the inline (format-1) shape consumers
+        use. Format-2 manifests get lazy ``_PieceView``s over their
+        piece pointer map — O(1), no piece I/O until a field is read."""
+        if "pieces" not in raw:
+            return raw
+        out = dict(raw)
+        for field in _PIECE_FIELDS:
+            out[field] = _PieceView(self, raw["pieces"], field)
+        return out
+
+    def _load_piece(self, rel: str) -> dict:
+        """Piece files are immutable and content-addressed, so the cache
+        can never go stale; it is bounded because a runaway history walk
+        (every piece of every snapshot) would otherwise pin them all."""
+        cache = self.__dict__.setdefault("_piece_cache", {})
+        hit = cache.get(rel)
+        if hit is not None:
+            return hit
+        with open(os.path.join(self.path, rel)) as f:
+            piece = json.load(f)
+        if len(cache) >= 4096:
+            cache.clear()
+        cache[rel] = piece
+        return piece
 
     def commit_with_rebase(
         self,
@@ -184,10 +292,11 @@ class LakeTable:
             str(b): (manifest.get("deltas", {}) or {}).get(str(b), [])
             for b in touched_buckets
         }
+        touched_set = {str(b) for b in touched_buckets}
         attempt = dict(manifest)
         for _ in range(max_retries + 1):
             try:
-                self._write_manifest(attempt)
+                self._write_manifest(attempt, touched_buckets=touched_set)
                 return attempt
             except CommitConflict:
                 self._manifest_cache = None
@@ -277,38 +386,161 @@ class LakeTable:
             f"gave up after {max_retries} rebase attempts at {self.path}"
         )
 
-    def _write_manifest(self, manifest: dict) -> None:
-        """Atomic manifest commit: write tmp, hard-link into place.
+    def _write_piece(self, content: dict) -> str:
+        """Write one content-addressed piece file (idempotent: the hash
+        names it, so re-writing identical content is a no-op and two
+        racing writers of the same content collide benignly)."""
+        blob = json.dumps(content, sort_keys=True, separators=(",", ":"))
+        digest = hashlib.sha1(blob.encode()).hexdigest()[:20]
+        rel = os.path.join(PIECE_DIR, f"p-{digest}.json")
+        final = os.path.join(self.path, rel)
+        if not os.path.exists(final):
+            os.makedirs(os.path.dirname(final), exist_ok=True)
+            tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                f.write(blob)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, final)
+        return rel
 
-        ``os.link`` fails with EEXIST if a concurrent writer won the race
-        — optimistic concurrency, the Iceberg commit protocol shape.
+    def _emit_raw(
+        self, manifest: dict, touched_buckets: set[str] | None = None
+    ) -> dict:
+        """Write the manifest's piece files and return its small raw
+        (pointer-map) form, WITHOUT linking it into the snapshot chain —
+        shared by real commits (`_write_manifest`) and staged WAP
+        commits (`_commit_staged`).
+
+        Format 2 (the 10^10-file property): the snapshot manifest holds
+        only ``pieces: {bucket -> [piece_path, flags]}``; per-bucket file
+        lists and per-file key/LSN bounds live in immutable content-
+        addressed piece files shared structurally across snapshots. With
+        ``touched_buckets`` known (every merge/compact/rebucket commit),
+        untouched buckets re-use the parent's piece pointers verbatim —
+        commit metadata I/O is ∝ the batch's write footprint plus one
+        O(num_buckets) pointer map, never ∝ the table's file inventory,
+        and a thousand-commit history stores each bucket state once.
+        Without it (format-1 parent, table create), every bucket is
+        content-hashed — same result, one linear pass. Pieces land
+        before the manifest link (the commit point); a losing or crashed
+        writer leaves only orphan pieces for vacuum.
         """
-        final = self._manifest_path(manifest["version"])
+        files = manifest.get("files", {}) or {}
+        deltas = manifest.get("deltas", {}) or {}
+        fstats = manifest.get("file_stats", {}) or {}
+        lstats = manifest.get("lsn_stats", {}) or {}
+        parent_pieces: dict = {}
+        if manifest.get("parent") is not None:
+            try:
+                parent_pieces = (
+                    self._read_manifest_raw(manifest["parent"]).get("pieces", {}) or {}
+                )
+            except FileNotFoundError:
+                parent_pieces = {}
+        pointers: dict[str, list] = {}
+        for b in sorted(set(files) | set(deltas), key=lambda s: (len(s), s)):
+            if (
+                touched_buckets is not None
+                and b not in touched_buckets
+                and b in parent_pieces
+            ):
+                # untouched bucket: carried forward verbatim from the
+                # parent by every writer (merge/compact/rebase), so the
+                # parent's piece IS its content — pointer copy, no I/O
+                pointers[b] = parent_pieces[b]
+                continue
+            flags = ("f" if b in files else "") + ("d" if b in deltas else "")
+            bfiles = list(files.get(b, []) or [])
+            bdeltas = list(deltas.get(b, []) or [])
+            refs = bfiles + bdeltas
+            content = {
+                "files": bfiles,
+                "deltas": bdeltas,
+                "file_stats": {r: fstats[r] for r in refs if r in fstats},
+                "lsn_stats": {r: lstats[r] for r in refs if r in lstats},
+            }
+            pointers[b] = [self._write_piece(content), flags]
+
+        raw = {k: v for k, v in manifest.items() if k not in _PIECE_FIELDS}
+        raw["format"] = 2
+        raw["pieces"] = pointers
+        # keep the caller's (inline-shaped) manifest authoritative, but
+        # with the FRESH pointer map — stale "pieces" keys spread from a
+        # parent manifest would poison pointer-diff consumers (the MoR
+        # change-feed pruning)
+        manifest["format"] = 2
+        manifest["pieces"] = pointers
+        return raw
+
+    def _link_manifest(self, raw: dict, final: str) -> None:
+        """Atomically place a raw manifest: write tmp, hard-link into
+        place. ``os.link`` fails with EEXIST if a concurrent writer won
+        the race — optimistic concurrency, the Iceberg commit protocol
+        shape."""
         tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
-            json.dump(manifest, f)
+            json.dump(raw, f)
             f.flush()
             os.fsync(f.fileno())
         try:
             os.link(tmp, final)
         except FileExistsError as e:
-            raise CommitConflict(f"snapshot v{manifest['version']} already committed") from e
+            raise CommitConflict(f"{os.path.basename(final)} already committed") from e
         finally:
             os.unlink(tmp)
+
+    def _write_manifest(
+        self, manifest: dict, touched_buckets: set[str] | None = None
+    ) -> None:
+        """Commit a snapshot: emit pieces, then atomically link the
+        small pointer-map manifest into the version chain."""
+        raw = self._emit_raw(manifest, touched_buckets)
+        self._link_manifest(raw, self._manifest_path(manifest["version"]))
         self._manifest_cache = manifest
+
+    def _commit_staged(
+        self,
+        manifest: dict,
+        touched_buckets: list[int],
+        stage_id: str,
+        append_only: bool = False,
+    ) -> dict:
+        """Write-audit-publish staging: persist this merge's full
+        snapshot under ``_manifests/staged/{stage_id}.json`` WITHOUT
+        linking it into the version chain — invisible to every reader
+        until ``lake.wap.publish_staged`` links it (rebasing onto any
+        commits that landed meanwhile) or ``abandon_staged`` drops it.
+        Data files and pieces are written exactly as a real commit's;
+        vacuum treats staged manifests as live pins until they are
+        published or abandoned. Duplicate stage ids refuse atomically."""
+        raw = self._emit_raw(manifest, {str(b) for b in touched_buckets})
+        raw["staged"] = {
+            "stage_id": stage_id,
+            "append_only": bool(append_only),
+            "touched_buckets": [int(b) for b in touched_buckets],
+        }
+        sdir = os.path.join(self.path, STAGED_DIR)
+        os.makedirs(sdir, exist_ok=True)
+        self._link_manifest(raw, os.path.join(sdir, f"{stage_id}.json"))
+        return manifest
 
     def history(self) -> list[dict]:
         """Live + expired manifests, oldest first (expired snapshots keep
-        contributing to fencing history; only their data pins are gone)."""
-        import re
+        contributing to fencing history; only their data pins are gone).
 
+        Inflation is lazy: walking the chain for fencing reads only the
+        small pointer-map manifests — per-batch fencing cost stays
+        O(commits), not O(commits × files). Reading an expired entry's
+        file maps may raise once vacuum reclaims its pieces, exactly as
+        its vacuumed data files would."""
         d = os.path.join(self.path, MANIFEST_DIR)
         entries = []
         for f in os.listdir(d):
             m = re.fullmatch(r"v(\d+)(?:\.expired)?\.json", f)
             if m:
                 with open(os.path.join(d, f)) as fh:
-                    entries.append((int(m.group(1)), json.load(fh)))
+                    entries.append((int(m.group(1)), self._inflate(json.load(fh))))
         return [e[1] for e in sorted(entries)]
 
     def committed_batches(self) -> dict[str, dict]:

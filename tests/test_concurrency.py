@@ -53,11 +53,11 @@ def _race(table: LakeTable, winner_fn):
     orig = table._write_manifest
     state = {"fired": False}
 
-    def racy(manifest):
+    def racy(manifest, **kwargs):
         if not state["fired"]:
             state["fired"] = True
             winner_fn()
-        return orig(manifest)
+        return orig(manifest, **kwargs)
 
     table._write_manifest = racy
 

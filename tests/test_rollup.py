@@ -475,11 +475,11 @@ def test_rollup_concurrent_refresh_loses_cleanly(spark, workdir):
     orig = roll_a.table._write_manifest
     fired = {"x": False}
 
-    def racy(manifest):
+    def racy(manifest, **kwargs):
         if not fired["x"]:
             fired["x"] = True
             roll_b.refresh()  # the winner lands the same rollup-v0-v1
-        return orig(manifest)
+        return orig(manifest, **kwargs)
 
     roll_a.table._write_manifest = racy
     s = roll_a.refresh()
