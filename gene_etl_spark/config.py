@@ -67,6 +67,15 @@ class IngestConfig:
     # read counters and the exact lsn-uniqueness soft check (audit mode;
     # one extra scan per batch).
     strict_pre_checks: bool = False
+    # wap_audit=True: every batch merges as a write-audit-publish STAGED
+    # snapshot (real files, invisible to readers), the audit stage runs
+    # over the staged read pruned to the touched buckets (built-in key-
+    # uniqueness plus any runner.wap_auditors), and only then is the
+    # snapshot published atomically. A failed audit abandons the stage —
+    # the lake never saw the batch (quarantine-by-default). Stage ids are
+    # deterministic per lsn range, so a crash between stage and publish
+    # self-heals on replay.
+    wap_audit: bool = False
 
     # --- maintenance ---------------------------------------------------------
     compact_every_n_batches: int | None = None  # auto-compact cadence

@@ -65,11 +65,16 @@ def list_staged(table: LakeTable) -> dict[str, dict]:
     return out
 
 
-def read_staged(table: LakeTable, stage_id: str) -> DataFrame:
+def read_staged(
+    table: LakeTable, stage_id: str, buckets: list[int] | None = None
+) -> DataFrame:
     """Audit scan: the table AS IT WOULD BE after publishing this staged
     snapshot (MoR deltas resolve exactly as a live read would). Never
-    visible through ``table.read()``."""
-    return table.read(manifest=table._inflate(_load_staged_raw(table, stage_id)))
+    visible through ``table.read()``. Pass the merge's touched buckets
+    to keep the audit's cost ∝ the batch."""
+    return table.read(
+        buckets=buckets, manifest=table._inflate(_load_staged_raw(table, stage_id))
+    )
 
 
 def publish_staged(table: LakeTable, stage_id: str) -> dict:

@@ -60,6 +60,10 @@ class CdcIngestRunner:
         self.table = self._open_table()
         # test hook: raise after the lake snapshot commit, before ledger
         self.crash_after_merge = False
+        # WAP audit hooks (wap_audit=True): check-name -> callable taking
+        # the staged DataFrame, returning (passed, details); a critical
+        # failure abandons the staged snapshot before anyone sees it
+        self.wap_auditors: dict = {}
 
     # ------------------------------------------------------------------ #
     def _open_table(self) -> LakeTable:
@@ -92,6 +96,18 @@ class CdcIngestRunner:
         batch_id = uuid.uuid4().hex
         t0 = time.time()
         phases: dict[str, float] = {}
+
+        stage_id = None
+        if self.config.wap_audit:
+            from gene_etl_spark.lake import wap
+
+            # deterministic per lsn range: a crash between stage and
+            # publish leaves an orphan stage this replay reclaims
+            stage_id = f"wap-{start_lsn}-{end_lsn}"
+            try:
+                wap.abandon_staged(self.table, stage_id)
+            except FileNotFoundError:
+                pass
 
         fused = (
             self.config.dedup_strategy == "agg"
@@ -133,6 +149,7 @@ class CdcIngestRunner:
                 end_lsn=end_lsn,
                 mode=self.config.merge_mode,
                 pre_commit_gate=gate,
+                stage_id=stage_id,
             )
             events_read = int(observed.get("events_read") or 0)
             phases["merge_sec"] = round(time.time() - tp, 3)
@@ -177,6 +194,7 @@ class CdcIngestRunner:
                     start_lsn=start_lsn,
                     end_lsn=end_lsn,
                     mode=self.config.merge_mode,
+                    stage_id=stage_id,
                 )
                 phases["merge_sec"] = round(time.time() - tp, 3)
                 phases.update(result.timings)
@@ -185,6 +203,29 @@ class CdcIngestRunner:
 
         if self.crash_after_merge:
             raise CrashInjected(f"crash injected after merge of batch {batch_id}")
+
+        if stage_id is not None:
+            from gene_etl_spark.lake import wap
+
+            tp = time.time()
+            staged = wap.read_staged(
+                self.table, stage_id, buckets=result.touched_buckets
+            )
+            try:
+                self.validator.audit_staged(
+                    staged,
+                    list(self.config.key_cols),
+                    batch_id,
+                    auditors=self.wap_auditors,
+                )
+            except Exception:
+                # failed audit: the stage is quarantined — the lake,
+                # ledger, and every reader never saw the batch
+                wap.abandon_staged(self.table, stage_id)
+                raise
+            pub = wap.publish_staged(self.table, stage_id)
+            result.snapshot_version = pub["snapshot_version"]
+            phases["wap_audit_sec"] = round(time.time() - tp, 3)
 
         applied = result.inserts + result.updates + result.deletes + result.noops
         wall_ms = int((time.time() - t0) * 1000)

@@ -179,6 +179,44 @@ class Validator:
         self._gate(results)
         return results
 
+    def audit_staged(
+        self,
+        staged_df,
+        key_cols: list[str],
+        batch_id: str,
+        auditors: dict | None = None,
+    ) -> list[dict]:
+        """WAP audit stage: invariants computed over the STAGED snapshot's
+        real merged files BEFORE publish (runner ``wap_audit`` mode). The
+        caller prunes ``staged_df`` to the batch's touched buckets, so
+        cost ∝ the batch. ``auditors`` maps check-name -> callable taking
+        the staged DataFrame and returning (passed, details); an auditor
+        that raises records a failed critical check. A critical failure
+        gates (raises ValidationError) — the runner then abandons the
+        staged snapshot, so the lake never saw the batch."""
+        agg = staged_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(*[F.col(k) for k in key_cols]).alias("n_keys"),
+        ).collect()[0]
+        results = [
+            self._result(
+                batch_id, "audit", "staged_key_uniqueness",
+                agg["n"] == agg["n_keys"], True,
+                f"rows={agg['n']} keys={agg['n_keys']}",
+            )
+        ]
+        for name, fn in (auditors or {}).items():
+            try:
+                passed, details = fn(staged_df)
+            except Exception as e:  # an auditor crash must fail closed
+                passed, details = False, f"auditor raised: {e!r}"
+            results.append(
+                self._result(batch_id, "audit", name, passed, True, str(details))
+            )
+        self._record(results)
+        self._gate(results)
+        return results
+
     # ------------------------------------------------------------------ #
     def _result(self, batch_id, stage, name, passed, critical, details) -> dict:
         return {
