@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import base64
 import datetime as dt
+import hmac
 import decimal
 import glob
 import json
@@ -523,7 +524,9 @@ class ApiServer:
                 if server.token is None or route == "/health":
                     return
                 supplied = self.headers.get("Authorization", "")
-                if supplied != f"Bearer {server.token}":
+                # constant-time compare: a plain != leaks a timing side
+                # channel on non-loopback binds
+                if not hmac.compare_digest(supplied, f"Bearer {server.token}"):
                     raise ApiError(401, {"error": "Unauthorized"})
 
             def _dispatch(self, method: str) -> None:

@@ -107,24 +107,20 @@ def compact(
         .mode("overwrite")
         .parquet(abs_commit)
     )
-    new_files = dict(manifest["files"])
-    new_deltas = {k: list(v) for k, v in deltas.items()}
-    bucket_files = table._list_bucket_files(abs_commit, rel_commit)
-    for b in fragmented:
-        new_files[str(b)] = bucket_files.get(str(b), [])
-        new_deltas.pop(str(b), None)  # deltas folded into the new base
-    from gene_etl_spark.lake.table import LSN_COL
+    # overlays over the parent's lazy maps (compaction rides the ingest
+    # loop via the threshold policy — it must not pay O(table) metadata):
+    # rewritten buckets update, their deltas fold, the rest pointer-copies
+    from gene_etl_spark.lake.table import LSN_COL, _Overlay
 
+    bucket_files = table._list_bucket_files(abs_commit, rel_commit)
+    new_files = _Overlay(
+        manifest.get("files", {}) or {},
+        {str(b): bucket_files.get(str(b), []) for b in fragmented},
+    )
+    new_deltas = _Overlay(deltas, removed=[str(b) for b in fragmented])
     both = table._collect_file_stats_multi(bucket_files, [table.key_cols[0], LSN_COL])
-    new_stats = dict(manifest.get("file_stats", {}) or {})
-    new_stats.update(both[table.key_cols[0]])
-    new_lsn_stats = dict(manifest.get("lsn_stats", {}) or {})
-    new_lsn_stats.update(both[LSN_COL])
-    referenced = {f for fs in new_files.values() for f in fs} | {
-        f for fs in new_deltas.values() for f in fs
-    }
-    new_stats = {k: v for k, v in new_stats.items() if k in referenced}
-    new_lsn_stats = {k: v for k, v in new_lsn_stats.items() if k in referenced}
+    new_stats = _Overlay(manifest.get("file_stats", {}) or {}, both[table.key_cols[0]])
+    new_lsn_stats = _Overlay(manifest.get("lsn_stats", {}) or {}, both[LSN_COL])
     new_manifest = {
         **manifest,
         "version": version,
@@ -203,6 +199,13 @@ def rebucket(table: LakeTable, new_num_buckets: int) -> dict:
             "total_rows": manifest["summary"].get("total_rows"),
             "from_num_buckets": manifest["num_buckets"],
             "to_num_buckets": new_num_buckets,
+            # rebucket rewrites everything: advertise the touched set so
+            # a racing CoW loser's overlap check fires (the num_buckets
+            # rebase guard is the primary fence; this is belt-and-braces)
+            "touched_buckets": sorted(
+                {int(b) for b in (manifest.get("files", {}) or {})}
+                | {int(b) for b in (manifest.get("deltas", {}) or {})}
+            ),
         },
         "committed_at_ms": int(time.time() * 1000),
     }

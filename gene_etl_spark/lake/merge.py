@@ -257,29 +257,28 @@ def merge_into(
     upd.unpersist()
 
     # ---- commit the new snapshot ----------------------------------------
-    new_files = dict(manifest["files"])  # carry forward untouched buckets
+    # overlays over the parent's (lazy) maps: untouched buckets are never
+    # materialized driver-side — _emit_raw pointer-copies their pieces,
+    # so commit metadata cost is ∝ the batch's write footprint even on a
+    # table with millions of files. A CoW rewrite resolves any MoR deltas
+    # for its buckets (the target read folds them in), so those delta
+    # pins are cleared; superseded files' stats are dropped at piece-
+    # write time (content is rebuilt per touched bucket from refs only).
+    from gene_etl_spark.lake.table import _Overlay
+
     bucket_files = table._list_bucket_files(abs_commit, rel_commit)
-    # a CoW rewrite resolves any MoR deltas for its buckets (the target
-    # read folds them in), so those delta pins are cleared here
-    new_deltas = {
-        k: list(v) for k, v in (manifest.get("deltas", {}) or {}).items()
-    }
-    for b in touched:
-        new_files[str(b)] = bucket_files.get(str(b), [])
-        new_deltas.pop(str(b), None)
-    # per-file key bounds for point-lookup file skipping, pruned to files
-    # still referenced by this snapshot (key + LSN bounds from one footer
-    # pass over the just-written files)
+    new_files = _Overlay(
+        manifest.get("files", {}) or {},
+        {str(b): bucket_files.get(str(b), []) for b in touched},
+    )
+    new_deltas = _Overlay(
+        manifest.get("deltas", {}) or {}, removed=[str(b) for b in touched]
+    )
+    # per-file key + LSN bounds from one footer pass over the just-
+    # written files (point-lookup skipping + the fast MoR resolve proof)
     both = table._collect_file_stats_multi(bucket_files, [key_cols[0], LSN_COL])
-    new_stats = dict(manifest.get("file_stats", {}) or {})
-    new_stats.update(both[key_cols[0]])
-    new_lsn_stats = dict(manifest.get("lsn_stats", {}) or {})
-    new_lsn_stats.update(both[LSN_COL])
-    referenced = {f for fs in new_files.values() for f in fs} | {
-        f for fs in new_deltas.values() for f in fs
-    }
-    new_stats = {k: v for k, v in new_stats.items() if k in referenced}
-    new_lsn_stats = {k: v for k, v in new_lsn_stats.items() if k in referenced}
+    new_stats = _Overlay(manifest.get("file_stats", {}) or {}, both[key_cols[0]])
+    new_lsn_stats = _Overlay(manifest.get("lsn_stats", {}) or {}, both[LSN_COL])
 
     res = MergeResult(snapshot_version=version, touched_buckets=touched)
     for row in counters:
@@ -442,18 +441,27 @@ def _merge_mor(
     timings["delta_write_sec"] = round(time.time() - tp, 3)
     upd.unpersist()
 
-    new_deltas = {k: list(v) for k, v in (manifest.get("deltas", {}) or {}).items()}
+    # overlay over the parent's (lazy) delta map: only the touched
+    # buckets' pieces load (to append to their existing delta lists);
+    # everything else pointer-copies at _emit_raw — the MoR commit's
+    # driver-side metadata cost is ∝ the slice, like its write volume
+    from gene_etl_spark.lake.table import _Overlay
+
     bucket_files = table._list_bucket_files(abs_commit, rel_commit)
-    for b in touched:
-        new_deltas.setdefault(str(b), []).extend(bucket_files.get(str(b), []))
+    parent_deltas = manifest.get("deltas", {}) or {}
+    new_deltas = _Overlay(
+        parent_deltas,
+        {
+            str(b): list(parent_deltas.get(str(b), [])) + bucket_files.get(str(b), [])
+            for b in touched
+        },
+    )
     # delta-file LSN bounds: prove delta/base disjointness so reads can
     # take the anti-join fast path instead of the full LWW aggregate
-    new_lsn_stats = dict(manifest.get("lsn_stats", {}) or {})
-    new_lsn_stats.update(table._collect_file_stats(bucket_files, column=LSN_COL))
-    referenced = {f for fs in manifest["files"].values() for f in fs} | {
-        f for fs in new_deltas.values() for f in fs
-    }
-    new_lsn_stats = {k: v for k, v in new_lsn_stats.items() if k in referenced}
+    new_lsn_stats = _Overlay(
+        manifest.get("lsn_stats", {}) or {},
+        table._collect_file_stats(bucket_files, column=LSN_COL),
+    )
 
     res = MergeResult(snapshot_version=version, touched_buckets=touched)
     for row in counters:
@@ -474,9 +482,9 @@ def _merge_mor(
         "schema": _json.loads(evolved_schema.json()),
         "key_cols": key_cols,
         "num_buckets": table.num_buckets,
-        "files": dict(manifest["files"]),  # base untouched
+        "files": manifest.get("files", {}) or {},  # base untouched (lazy)
         "deltas": new_deltas,
-        "file_stats": dict(manifest.get("file_stats", {}) or {}),
+        "file_stats": manifest.get("file_stats", {}) or {},  # untouched (lazy)
         "lsn_stats": new_lsn_stats,
         "properties": {
             "batch_id": batch_id,

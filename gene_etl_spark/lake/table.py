@@ -133,6 +133,46 @@ class CommitConflict(RuntimeError):
     """Another writer committed the same snapshot version first."""
 
 
+class _Overlay(Mapping):
+    """Copy-on-write mapping: per-bucket updates/removals layered over a
+    base mapping (usually a lazy ``_PieceView``) WITHOUT materializing it.
+
+    This is what keeps a commit's driver-side metadata cost ∝ its write
+    footprint: merge/compact build their new manifest maps as overlays,
+    so only the touched buckets' pieces are ever loaded — ``_emit_raw``
+    pointer-copies the untouched rest straight from the parent manifest.
+    Key enumeration stays I/O-free when the base's is (piece flags)."""
+
+    __slots__ = ("_base", "_updates", "_removed")
+
+    def __init__(self, base, updates: dict | None = None, removed=()):
+        self._base = base if base is not None else {}
+        self._updates = dict(updates or {})
+        self._removed = set(removed) - set(self._updates)
+
+    def __getitem__(self, key):
+        if key in self._updates:
+            return self._updates[key]
+        if key in self._removed:
+            raise KeyError(key)
+        return self._base[key]
+
+    def __iter__(self):
+        yield from self._updates
+        for k in self._base:
+            if k not in self._updates and k not in self._removed:
+                yield k
+
+    def __len__(self):
+        return sum(1 for _ in self)
+
+    def __bool__(self):
+        # cheap: defer to the base's (piece views are flag-based); a
+        # truthy-but-empty corner (all base keys removed) is tolerated,
+        # consumers treat empty-and-falsy identically via .get()
+        return bool(self._updates) or bool(self._base)
+
+
 class LakeTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -318,6 +358,19 @@ class LakeTable:
                     raise CommitConflict(
                         f"batch {batch_id} was committed concurrently by another writer"
                     ) from None
+                # a partition-spec change (rebucket) invalidates EVERY
+                # in-flight commit regardless of direction or append_only:
+                # our files/deltas are numbered under the old bucket count,
+                # and blindly re-layering them (or committing our stale
+                # num_buckets) would corrupt pruning for every later read.
+                if any(
+                    m.get("num_buckets") != attempt.get("num_buckets")
+                    for m in winners
+                ):
+                    raise CommitConflict(
+                        "a concurrent commit changed num_buckets (rebucket) —"
+                        " rebase unsafe, re-run against the new layout"
+                    ) from None
                 if not append_only:
                     for m in winners:
                         won = set(
@@ -394,7 +447,16 @@ class LakeTable:
         digest = hashlib.sha1(blob.encode()).hexdigest()[:20]
         rel = os.path.join(PIECE_DIR, f"p-{digest}.json")
         final = os.path.join(self.path, rel)
-        if not os.path.exists(final):
+        if os.path.exists(final):
+            # refresh mtime: the existing file may be an ORPHAN (e.g. an
+            # abandoned stage) older than vacuum's grace window — without
+            # the touch, a concurrent vacuum could reclaim it between
+            # this reuse and our manifest link
+            try:
+                os.utime(final, None)
+            except OSError:
+                pass
+        else:
             os.makedirs(os.path.dirname(final), exist_ok=True)
             tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
             with open(tmp, "w") as f:
@@ -494,10 +556,16 @@ class LakeTable:
         self, manifest: dict, touched_buckets: set[str] | None = None
     ) -> None:
         """Commit a snapshot: emit pieces, then atomically link the
-        small pointer-map manifest into the version chain."""
+        small pointer-map manifest into the version chain.
+
+        The cache is re-inflated from the RAW form rather than keeping
+        the caller's in-memory maps: merge builds those as ``_Overlay``s
+        over the parent's piece views, and caching them would chain one
+        overlay per batch across a long run (unbounded lookup depth and
+        a pin on every ancestor manifest)."""
         raw = self._emit_raw(manifest, touched_buckets)
         self._link_manifest(raw, self._manifest_path(manifest["version"]))
-        self._manifest_cache = manifest
+        self._manifest_cache = self._inflate(raw)
 
     def _commit_staged(
         self,

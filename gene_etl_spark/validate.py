@@ -185,6 +185,8 @@ class Validator:
         key_cols: list[str],
         batch_id: str,
         auditors: dict | None = None,
+        check_uniqueness: bool = True,
+        min_rows: int | None = None,
     ) -> list[dict]:
         """WAP audit stage: invariants computed over the STAGED snapshot's
         real merged files BEFORE publish (runner ``wap_audit`` mode). The
@@ -193,18 +195,36 @@ class Validator:
         the staged DataFrame and returning (passed, details); an auditor
         that raises records a failed critical check. A critical failure
         gates (raises ValidationError) — the runner then abandons the
-        staged snapshot, so the lake never saw the batch."""
+        staged snapshot, so the lake never saw the batch.
+
+        Built-ins are mode-aware so no green check is vacuous:
+        ``check_uniqueness`` applies to CoW staged files (which could
+        physically contain duplicate keys); it is OFF for MoR, where the
+        staged read resolves through a key groupBy and is unique by
+        construction. ``min_rows`` (parent rows in the touched buckets
+        minus the batch's deletes — a valid floor in both modes) catches
+        resolution bugs that drop whole groups."""
         agg = staged_df.agg(
             F.count(F.lit(1)).alias("n"),
             F.countDistinct(*[F.col(k) for k in key_cols]).alias("n_keys"),
         ).collect()[0]
-        results = [
-            self._result(
-                batch_id, "audit", "staged_key_uniqueness",
-                agg["n"] == agg["n_keys"], True,
-                f"rows={agg['n']} keys={agg['n_keys']}",
+        results = []
+        if check_uniqueness:
+            results.append(
+                self._result(
+                    batch_id, "audit", "staged_key_uniqueness",
+                    agg["n"] == agg["n_keys"], True,
+                    f"rows={agg['n']} keys={agg['n_keys']}",
+                )
             )
-        ]
+        if min_rows is not None:
+            results.append(
+                self._result(
+                    batch_id, "audit", "staged_row_floor",
+                    agg["n"] >= min_rows, True,
+                    f"rows={agg['n']} floor={min_rows}",
+                )
+            )
         for name, fn in (auditors or {}).items():
             try:
                 passed, details = fn(staged_df)
@@ -213,8 +233,9 @@ class Validator:
             results.append(
                 self._result(batch_id, "audit", name, passed, True, str(details))
             )
-        self._record(results)
-        self._gate(results)
+        if results:  # all built-ins off + no auditors -> nothing to log
+            self._record(results)
+            self._gate(results)
         return results
 
     # ------------------------------------------------------------------ #

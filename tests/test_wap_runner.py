@@ -60,7 +60,13 @@ def test_wap_run_matches_plain_run(spark, events, mode):
     assert wap.list_staged(audited.table) == {}
     vlog = pd.read_parquet(f"{events}/validation-wap-{mode}")
     audits = vlog[vlog["stage"] == "audit"]
-    assert len(audits) == len(summary["batches"]) and audits["passed"].all()
+    assert audits["batch_id"].nunique() == len(summary["batches"])
+    assert audits["passed"].all()
+    # mode-aware built-ins: the floor runs everywhere; uniqueness only
+    # where it can actually fail (CoW files), never vacuously (MoR)
+    names = set(audits["check_name"])
+    assert "staged_row_floor" in names
+    assert ("staged_key_uniqueness" in names) == (mode == "cow")
 
 
 def test_failed_audit_quarantines_batch(spark, events):
