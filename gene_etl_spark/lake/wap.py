@@ -118,3 +118,65 @@ def abandon_staged(table: LakeTable, stage_id: str) -> dict:
     _load_staged_raw(table, stage_id)  # raise cleanly if absent
     os.unlink(_staged_path(table, stage_id))
     return {"abandoned": stage_id}
+
+
+def audit_and_publish(
+    table: LakeTable,
+    stage_id: str,
+    *,
+    validator,
+    key_cols,
+    batch_id: str,
+    merge_mode: str,
+    deletes: int,
+    touched_buckets,
+    auditors: dict | None = None,
+) -> dict:
+    """Audit a staged snapshot over its REAL merged files, then publish
+    atomically; a failed audit abandons the stage (quarantine — the lake,
+    ledger, and every reader never saw the batch) and re-raises.
+
+    Shared by the batch runner and the streaming epoch path so both
+    ingest surfaces enforce identical mode-aware built-ins: key
+    uniqueness only on CoW (a MoR staged read resolves through a key
+    groupBy and is unique by construction) and a row floor of
+    parent-touched-bucket rows minus this batch's deletes in both modes
+    (catches resolution bugs that drop whole groups). Cost ∝ the batch:
+    both scans are pruned to the merge's touched buckets."""
+    staged = read_staged(table, stage_id, buckets=touched_buckets)
+    parent_n = table.read(buckets=touched_buckets).count()
+    try:
+        validator.audit_staged(
+            staged,
+            list(key_cols),
+            batch_id,
+            auditors=auditors,
+            check_uniqueness=merge_mode == "cow",
+            min_rows=parent_n - deletes,
+        )
+    except Exception:
+        abandon_staged(table, stage_id)
+        raise
+    return publish_staged(table, stage_id)
+
+
+def sweep_stages(table: LakeTable, prefix: str = "wap-") -> list[str]:
+    """Abandon every staged snapshot in the ingest-owned namespace
+    (default ``wap-{start}-{end}``, the runner/stream auto-stage ids).
+
+    A crash between stage and publish leaves an orphan; the per-batch
+    abandon only reclaims a replay of the SAME lsn slice, so if batch
+    boundaries changed (new slice width, re-planned resume) the orphan
+    would pin its data files and pieces in vacuum forever — and remain
+    accidentally publishable. The caller is the single writer per
+    ledger, so any namespaced stage present at ingest start is dead by
+    construction. User-created stages (custom ids) are left alone."""
+    swept: list[str] = []
+    for stage_id in list(list_staged(table)):
+        if stage_id.startswith(prefix):
+            try:
+                abandon_staged(table, stage_id)
+                swept.append(stage_id)
+            except FileNotFoundError:
+                pass
+    return swept

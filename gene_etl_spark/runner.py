@@ -208,32 +208,17 @@ class CdcIngestRunner:
             from gene_etl_spark.lake import wap
 
             tp = time.time()
-            staged = wap.read_staged(
-                self.table, stage_id, buckets=result.touched_buckets
+            pub = wap.audit_and_publish(
+                self.table,
+                stage_id,
+                validator=self.validator,
+                key_cols=list(self.config.key_cols),
+                batch_id=batch_id,
+                merge_mode=self.config.merge_mode,
+                deletes=result.deletes,
+                touched_buckets=result.touched_buckets,
+                auditors=self.wap_auditors,
             )
-            # row floor from the PARENT's touched buckets (one pruned
-            # scan — audit mode explicitly pays for assurance): resolved
-            # rows can't drop below parent minus this batch's deletes in
-            # either mode, so a resolution bug that loses whole groups
-            # fails the audit instead of publishing
-            parent_n = self.table.read(buckets=result.touched_buckets).count()
-            try:
-                self.validator.audit_staged(
-                    staged,
-                    list(self.config.key_cols),
-                    batch_id,
-                    auditors=self.wap_auditors,
-                    # MoR staged reads resolve via a key groupBy — unique
-                    # by construction, so the check would be vacuous
-                    check_uniqueness=self.config.merge_mode == "cow",
-                    min_rows=parent_n - result.deletes,
-                )
-            except Exception:
-                # failed audit: the stage is quarantined — the lake,
-                # ledger, and every reader never saw the batch
-                wap.abandon_staged(self.table, stage_id)
-                raise
-            pub = wap.publish_staged(self.table, stage_id)
             result.snapshot_version = pub["snapshot_version"]
             phases["wap_audit_sec"] = round(time.time() - tp, 3)
 
@@ -303,21 +288,10 @@ class CdcIngestRunner:
 
     def _sweep_orphan_stages(self) -> None:
         """Abandon runner-owned (``wap-*``) stages left by a crash between
-        stage and publish. The per-batch abandon only reclaims a replay of
-        the SAME lsn range; if batch boundaries changed (new slice width,
-        re-planned resume), the orphan would otherwise pin its data files
-        and pieces in vacuum forever — and remain accidentally
-        publishable. The runner is the single writer per ledger, so any
-        runner-named stage present at run start is dead by construction.
-        User-created stages (custom ids) are left alone."""
+        stage and publish (see ``wap.sweep_stages``)."""
         from gene_etl_spark.lake import wap
 
-        for stage_id in list(wap.list_staged(self.table)):
-            if stage_id.startswith("wap-"):
-                try:
-                    wap.abandon_staged(self.table, stage_id)
-                except FileNotFoundError:
-                    pass
+        wap.sweep_stages(self.table)
 
     def _lake_committed(self, start_lsn: int, end_lsn: int) -> bool:
         return any(

@@ -53,6 +53,7 @@ def ingest_stream(
     max_files_per_trigger: int | None = None,
     timeout_sec: float = 600.0,
     rollups: list | None = None,
+    wap_auditors: dict | None = None,
 ) -> dict:
     """Run an availableNow streaming ingest over the change log; returns
     a summary once the stream drains.
@@ -95,6 +96,23 @@ def ingest_stream(
     ledger = Ledger(config.ledger_path)
     metrics = MetricsTable(spark, config.metrics_path)
     applied = {"epochs": 0, "events": 0}
+
+    validator = None
+    if config.wap_audit:
+        # write-audit-publish on the streaming surface: each epoch's
+        # merge parks as a staged snapshot, is audited over its REAL
+        # merged files (same mode-aware built-ins + custom auditors as
+        # the batch runner), and only then publishes atomically. A
+        # failed audit abandons the stage and fails the query — the
+        # quarantined epoch replays (and re-audits) on restart, so a
+        # bad batch can never become readable. Orphan wap-* stages from
+        # a crash between stage and publish are swept here, exactly as
+        # the batch runner does at run() start.
+        from gene_etl_spark.lake import wap as _wap
+        from gene_etl_spark.validate import Validator
+
+        validator = Validator(spark, config.validation_path)
+        _wap.sweep_stages(table)
 
     import hashlib
 
@@ -143,13 +161,30 @@ def ingest_stream(
                 order_cols=("lsn", "ts"),
                 num_salts=config.num_salts if n >= config.salt_threshold else 1,
             )
+            stage_id = f"wap-{start_lsn}-{end_lsn}" if config.wap_audit else None
             result = table.merge(
                 deduped,
                 batch_id=batch_id,
                 mode=config.merge_mode,
                 start_lsn=start_lsn,
                 end_lsn=end_lsn,
+                stage_id=stage_id,
             )
+            if stage_id is not None:
+                from gene_etl_spark.lake import wap
+
+                pub = wap.audit_and_publish(
+                    table,
+                    stage_id,
+                    validator=validator,
+                    key_cols=list(config.key_cols),
+                    batch_id=batch_id,
+                    merge_mode=config.merge_mode,
+                    deletes=result.deletes,
+                    touched_buckets=result.touched_buckets,
+                    auditors=wap_auditors,
+                )
+                result.snapshot_version = pub["snapshot_version"]
             ledger.record(
                 batch_id=batch_id,
                 start_lsn=start_lsn,

@@ -104,3 +104,79 @@ def test_crash_between_stage_and_publish_self_heals(spark, events):
     plain = CdcIngestRunner(spark, _cfg(events, "plain2"))
     plain.run()
     pd.testing.assert_frame_equal(_state(plain), _state(r2))
+
+
+# ---------------------------------------------------------------- streaming
+# wap_audit on the streaming surface: every epoch stages, audits over the
+# real merged files (shared audit_and_publish helper — same mode-aware
+# built-ins as the batch runner), and publishes atomically; a failed
+# audit quarantines the epoch by failing the query, and the replay after
+# the auditor is fixed converges to the plain-stream state.
+
+
+def _stream_state(spark, lake_path):
+    df = (
+        LakeTable.load(spark, lake_path)
+        .read()
+        .select("conv_id", "turn_idx", "text")
+        .toPandas()
+    )
+    return df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+def test_stream_wap_matches_plain_stream(spark, events):
+    from gene_etl_spark.streaming.stream import ingest_stream
+
+    plain_cfg = _cfg(events, "s-plain", merge_mode="mor")
+    ingest_stream(spark, plain_cfg, f"{events}/ckpt-s-plain", max_files_per_trigger=2)
+
+    wap_cfg = _cfg(events, "s-wap", merge_mode="mor", wap_audit=True)
+    summary = ingest_stream(
+        spark, wap_cfg, f"{events}/ckpt-s-wap", max_files_per_trigger=2
+    )
+    assert summary["epochs"] >= 2
+    pd.testing.assert_frame_equal(
+        _stream_state(spark, plain_cfg.lake_path),
+        _stream_state(spark, wap_cfg.lake_path),
+    )
+    # nothing left staged; every epoch logged a (mode-aware) audit row
+    assert wap.list_staged(LakeTable.load(spark, wap_cfg.lake_path)) == {}
+    vlog = pd.read_parquet(f"{events}/validation-s-wap")
+    audits = vlog[vlog["stage"] == "audit"]
+    assert audits["batch_id"].nunique() == summary["epochs"]
+    assert audits["passed"].all()
+    names = set(audits["check_name"])
+    assert "staged_row_floor" in names
+    assert "staged_key_uniqueness" not in names  # MoR: vacuous, omitted
+
+
+def test_stream_wap_failed_audit_quarantines_epoch(spark, events):
+    from gene_etl_spark.streaming.stream import ingest_stream
+
+    cfg = _cfg(events, "s-reject", wap_audit=True)
+    ckpt = f"{events}/ckpt-s-reject"
+    with pytest.raises(Exception):  # StreamingQueryException wraps the gate
+        ingest_stream(
+            spark,
+            cfg,
+            ckpt,
+            max_files_per_trigger=2,
+            wap_auditors={"reject_all": lambda df: (False, "always fails")},
+        )
+    table = LakeTable.load(spark, cfg.lake_path)
+    assert table.version == 0  # quarantined: the lake never saw the epoch
+    assert wap.list_staged(table) == {}  # stage abandoned, not orphaned
+    vlog = pd.read_parquet(f"{events}/validation-s-reject")
+    bad = vlog[(vlog["stage"] == "audit") & (~vlog["passed"])]
+    assert (bad["check_name"] == "reject_all").any()
+
+    # fixing the auditor and resuming the SAME checkpoint replays the
+    # quarantined epoch and drains the log to the plain-stream state
+    summary = ingest_stream(spark, cfg, ckpt, max_files_per_trigger=2)
+    assert summary["events"] == 6000
+    plain_cfg = _cfg(events, "s-plain2")
+    ingest_stream(spark, plain_cfg, f"{events}/ckpt-s-plain2", max_files_per_trigger=2)
+    pd.testing.assert_frame_equal(
+        _stream_state(spark, plain_cfg.lake_path),
+        _stream_state(spark, cfg.lake_path),
+    )
