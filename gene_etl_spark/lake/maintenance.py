@@ -66,6 +66,98 @@ def read_at_ts(table: LakeTable, ts_ms: int) -> DataFrame:
     return read_at_version(table, version_at(table, ts_ms))
 
 
+REFS_SUBDIR = "refs"
+_REF_NAME_RE = None  # compiled lazily (keep module import light)
+
+
+def _refs_dir(table: LakeTable) -> str:
+    return os.path.join(table.path, MANIFEST_DIR, REFS_SUBDIR)
+
+
+def _ref_path(table: LakeTable, name: str) -> str:
+    global _REF_NAME_RE
+    if _REF_NAME_RE is None:
+        import re
+
+        _REF_NAME_RE = re.compile(r"[A-Za-z0-9][A-Za-z0-9._-]*")
+    if not _REF_NAME_RE.fullmatch(name):
+        raise ValueError(
+            f"invalid tag name {name!r}: use letters, digits, '.', '_', '-'"
+        )
+    return os.path.join(_refs_dir(table), f"{name}.json")
+
+
+def tag(table: LakeTable, name: str, version: int | None = None) -> dict:
+    """Create an immutable named ref to a LIVE snapshot (Iceberg tag
+    analogue). A tagged snapshot is retention-pinned: ``expire_snapshots``
+    never expires it, which transitively keeps its data files and pieces
+    out of ``vacuum``'s reach — the mechanism for audit/reproducibility
+    holds ("the corpus the run trained on") over a long CDC history.
+    Refuses an existing name (tags are immutable; drop first to re-point)
+    and a non-live version (an expired snapshot's data pins are gone)."""
+    v = table.version if version is None else int(version)
+    if not os.path.exists(table._manifest_path(v)):
+        raise ValueError(f"version {v} of {table.path} is not a live snapshot")
+    path = _ref_path(table, name)
+    os.makedirs(_refs_dir(table), exist_ok=True)
+    rec = {"name": name, "version": v, "created_at_ms": int(time.time() * 1000)}
+    import uuid as _uuid
+
+    tmp = path + f".tmp-{_uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(rec, f)
+    try:
+        # atomic create-if-absent: link() fails on an existing name, so
+        # two racing taggers can't silently overwrite each other
+        os.link(tmp, path)
+    except FileExistsError:
+        raise ValueError(
+            f"tag {name!r} already exists (points at version "
+            f"{list_tags(table)[name]['version']}); drop_tag first"
+        ) from None
+    finally:
+        os.unlink(tmp)
+    return rec
+
+
+def list_tags(table: LakeTable) -> dict[str, dict]:
+    """name -> {version, created_at_ms} for every tag on the table."""
+    rdir = _refs_dir(table)
+    out: dict[str, dict] = {}
+    if not os.path.isdir(rdir):
+        return out
+    for fn in sorted(os.listdir(rdir)):
+        if not fn.endswith(".json") or ".tmp-" in fn:
+            continue
+        with open(os.path.join(rdir, fn)) as f:
+            rec = json.load(f)
+        out[rec.get("name") or fn[: -len(".json")]] = {
+            "version": rec["version"],
+            "created_at_ms": rec.get("created_at_ms"),
+        }
+    return out
+
+
+def drop_tag(table: LakeTable, name: str) -> dict:
+    """Remove a tag; its snapshot becomes expirable (and then vacuumable)
+    again under the normal retention rules."""
+    path = _ref_path(table, name)
+    if not os.path.exists(path):
+        raise ValueError(f"no tag {name!r} on {table.path}")
+    with open(path) as f:
+        rec = json.load(f)
+    os.unlink(path)
+    return {"dropped": name, "version": rec["version"]}
+
+
+def read_tag(table: LakeTable, name: str) -> DataFrame:
+    """Time-travel scan of the tagged snapshot."""
+    tags = list_tags(table)
+    if name not in tags:
+        raise ValueError(f"no tag {name!r} on {table.path}")
+    return read_at_version(table, tags[name]["version"])
+
+
 def compact(
     table: LakeTable,
     max_files_per_bucket: int = 1,
@@ -252,16 +344,30 @@ def compact_if_needed(
 
 def expire_snapshots(table: LakeTable, keep_last: int = 10) -> dict:
     """Mark old snapshots expired (manifests renamed to .expired.json so
-    fencing history is preserved but time travel to them is closed)."""
+    fencing history is preserved but time travel to them is closed).
+
+    Tagged versions are retention-pinned: they stay live regardless of
+    age, so their data files and pieces remain under vacuum's protection
+    until the tag is dropped (Iceberg's ref-aware snapshot expiry)."""
     current = table.version
     cutoff = current - keep_last
+    pinned = {rec["version"] for rec in list_tags(table).values()}
     expired = 0
-    for v in range(cutoff + 1):
+    # the CURRENT snapshot is always retained (keep_last=0 would
+    # otherwise expire the head and brick the table: vacuum could then
+    # reclaim the live state's own files)
+    for v in range(min(cutoff + 1, current)):
+        if v in pinned:
+            continue
         p = table._manifest_path(v)
         if os.path.exists(p):
             os.rename(p, p.replace(".json", ".expired.json"))
             expired += 1
-    return {"expired": expired, "kept_from": max(cutoff + 1, 0)}
+    return {
+        "expired": expired,
+        "kept_from": max(cutoff + 1, 0),
+        "tag_pinned": sorted(v for v in pinned if v <= cutoff),
+    }
 
 
 def vacuum(

@@ -12,6 +12,9 @@ rule's continuous ingest implies):
     ... vacuum [--older-than-sec 600] [--dry-run]
     ... rebucket --num-buckets 256
     ... snapshots            # history + timestamp-travel resolution table
+    ... tag corpus-2026q3 [--version 41]   # retention-pin a snapshot
+    ... drop-tag corpus-2026q3
+    ... tags
 
 Each subcommand prints ONE JSON line so schedulers can parse results.
 """
@@ -47,6 +50,15 @@ def main() -> None:
 
     sub.add_parser("snapshots", help="list live snapshots (version, ts, operation)")
 
+    p = sub.add_parser("tag", help="pin a live snapshot under an immutable name")
+    p.add_argument("name")
+    p.add_argument("--version", type=int, default=None, help="default: current")
+
+    p = sub.add_parser("drop-tag", help="remove a tag (snapshot expirable again)")
+    p.add_argument("name")
+
+    sub.add_parser("tags", help="list tags (name -> version)")
+
     args = ap.parse_args()
 
     from gene_etl_spark.lake import maintenance
@@ -66,6 +78,12 @@ def main() -> None:
         )
     elif args.cmd == "rebucket":
         out = maintenance.rebucket(table, args.num_buckets)
+    elif args.cmd == "tag":
+        out = maintenance.tag(table, args.name, version=args.version)
+    elif args.cmd == "drop-tag":
+        out = maintenance.drop_tag(table, args.name)
+    elif args.cmd == "tags":
+        out = {"table": args.table, "tags": maintenance.list_tags(table)}
     else:  # snapshots
         rows = [
             {
