@@ -162,13 +162,28 @@ def compact(
     table: LakeTable,
     max_files_per_bucket: int = 1,
     buckets: list[int] | None = None,
+    target_file_size_bytes: int | None = None,
+    sort_cols: list[str] | None = None,
 ) -> dict:
     """Rewrite buckets whose base-file count exceeds the target — or
     which carry MoR delta files — into fresh resolved base files; commits
     a new snapshot (row content identical: the read path's LWW resolution
     is what gets folded in). ``buckets`` restricts the rewrite to an
     explicit set (the policy trigger below compacts only the buckets
-    that tripped it, not every bucket with a single delta)."""
+    that tripped it, not every bucket with a single delta).
+
+    ``target_file_size_bytes``: at scale one-file-per-bucket is wrong
+    (a 100 GB bucket must not become one unsplittable write task); when
+    set, the rewrite range-partitions each bucket by the sort key into
+    ~target-sized, KEY-SORTED files — the task count derives from the
+    fragmented buckets' current on-disk bytes (input is already parquet
+    with the same codec, so output size ≈ input size). Because the
+    files are range-sliced, their per-file key [min, max] bounds are
+    disjoint, so a point ``lookup`` prunes to ONE file however many the
+    bucket holds. ``sort_cols`` overrides the within-file clustering
+    (first column drives the range slicing — multi-column lexicographic
+    is the Z-order-lite that keeps several predicates' row-group stats
+    selective); default is the bucketing key."""
     manifest = table.manifest
     deltas = manifest.get("deltas", {}) or {}
     if buckets is not None:
@@ -191,14 +206,37 @@ def compact(
     version = manifest["version"] + 1
     rel_commit = table._new_commit_dir(version)
     abs_commit = os.path.join(table.path, rel_commit)
-    (
-        # hash on bucket alone: every row of a bucket lands in exactly one
-        # task, so compaction yields exactly one file per bucket
-        df.repartition(max(len(fragmented), 1), F.col(BUCKET_COL))
-        .write.partitionBy(BUCKET_COL)
-        .mode("overwrite")
-        .parquet(abs_commit)
-    )
+    if target_file_size_bytes or sort_cols:
+        order = [F.col(BUCKET_COL)] + [
+            F.col(c) for c in (sort_cols or [table.key_cols[0]])
+        ]
+        n_tasks = max(len(fragmented), 1)
+        if target_file_size_bytes:
+            files_map = manifest.get("files", {}) or {}
+            in_bytes = sum(
+                os.path.getsize(os.path.join(table.path, rel))
+                for b in fragmented
+                for rel in list(files_map.get(str(b), []) or [])
+                + list(deltas.get(str(b), []) or [])
+                if os.path.exists(os.path.join(table.path, rel))
+            )
+            n_tasks = max(n_tasks, -(-in_bytes // target_file_size_bytes))
+        (
+            df.repartitionByRange(int(n_tasks), *order)
+            .sortWithinPartitions(*order)
+            .write.partitionBy(BUCKET_COL)
+            .mode("overwrite")
+            .parquet(abs_commit)
+        )
+    else:
+        (
+            # hash on bucket alone: every row of a bucket lands in exactly
+            # one task, so compaction yields exactly one file per bucket
+            df.repartition(max(len(fragmented), 1), F.col(BUCKET_COL))
+            .write.partitionBy(BUCKET_COL)
+            .mode("overwrite")
+            .parquet(abs_commit)
+        )
     # overlays over the parent's lazy maps (compaction rides the ingest
     # loop via the threshold policy — it must not pay O(table) metadata):
     # rewritten buckets update, their deltas fold, the rest pointer-copies

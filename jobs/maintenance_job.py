@@ -37,6 +37,14 @@ def main() -> None:
 
     p = sub.add_parser("compact", help="rewrite fragmented/delta-carrying buckets")
     p.add_argument("--max-files", type=int, default=1)
+    p.add_argument(
+        "--target-file-size-mb", type=int, default=None,
+        help="split rewritten buckets into ~this-sized key-sorted files",
+    )
+    p.add_argument(
+        "--sort-by", default=None,
+        help="comma-separated within-file clustering columns (default: key)",
+    )
 
     p = sub.add_parser("expire", help="expire old snapshots (fencing history kept)")
     p.add_argument("--keep-last", type=int, default=10)
@@ -69,7 +77,16 @@ def main() -> None:
     table = LakeTable.load(spark, args.table)
 
     if args.cmd == "compact":
-        out = maintenance.compact(table, max_files_per_bucket=args.max_files)
+        out = maintenance.compact(
+            table,
+            max_files_per_bucket=args.max_files,
+            target_file_size_bytes=(
+                args.target_file_size_mb * 1024 * 1024
+                if args.target_file_size_mb
+                else None
+            ),
+            sort_cols=args.sort_by.split(",") if args.sort_by else None,
+        )
     elif args.cmd == "expire":
         out = maintenance.expire_snapshots(table, keep_last=args.keep_last)
     elif args.cmd == "vacuum":

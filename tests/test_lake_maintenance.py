@@ -103,3 +103,51 @@ def test_timestamp_time_travel(spark, workdir):
     with pytest.raises(ValueError, match="no live snapshot"):
         version_at(table, by_version[1])
     assert version_at(table, by_version[v_final]) == v_final
+
+
+def test_sized_sorted_compaction_and_lookup_pruning(spark, workdir):
+    """target_file_size_bytes: compaction splits a bucket into several
+    KEY-SORTED files with disjoint per-file key bounds, so a point
+    lookup prunes to exactly one file — the 100 GB-bucket shape (one
+    file per bucket would be one unsplittable write task)."""
+    from pyspark.sql import functions as F
+
+    from gene_etl_spark.functions import bucket_of
+
+    runner, cfg = _build(spark, workdir)
+    table = runner.table
+    expected = materialize_expected(cfg.events_path)
+
+    compact(table, target_file_size_bytes=16 * 1024)  # tiny target: force splits
+    m = table.manifest
+    files_map = {b: list(fs) for b, fs in (m.get("files") or {}).items()}
+    multi = {b: fs for b, fs in files_map.items() if len(fs) > 1}
+    assert multi, "tiny target must split at least one bucket"
+
+    # range-sliced: per-file key bounds are disjoint (boundaries may touch)
+    stats = m.get("file_stats") or {}
+    for fs in multi.values():
+        bounds = sorted(tuple(stats[f]) for f in fs)
+        for (_, hi1), (lo2, _) in zip(bounds, bounds[1:]):
+            assert lo2 >= hi1
+
+    # content identical through the sized rewrite
+    assert_replay_equal(table.read().toPandas(), expected)
+
+    # a lookup in a multi-file bucket scans exactly one file
+    checked = 0
+    for key in expected["conv_id"].drop_duplicates().head(20):
+        b = (
+            spark.range(1)
+            .select(bucket_of(F.lit(key), table.num_buckets).alias("b"))
+            .collect()[0]["b"]
+        )
+        if str(b) not in multi:
+            continue
+        hits = table.lookup(key)
+        assert len(hits.inputFiles()) == 1
+        assert hits.count() > 0
+        checked += 1
+        if checked >= 3:
+            break
+    assert checked >= 1
