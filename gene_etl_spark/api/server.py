@@ -495,6 +495,71 @@ class ApiServer:
         }
 
     # ------------------------------------------------------------------ #
+    # lake operational surface: snapshots / tags / staged WAP commits.
+    # Always scoped to the server's CONFIGURED lake (never a request-
+    # supplied path — no traversal surface); tag create/drop are the only
+    # write verbs and they touch refs, not data.
+
+    def _lake(self):
+        from gene_etl_spark.lake.table import LakeTable
+
+        cfg = self.default_config
+        if cfg is None or not LakeTable.exists(cfg.lake_path):
+            raise ApiError(
+                404, {"error": "No lake table configured (or not yet created)"}
+            )
+        return LakeTable.load(self.spark, cfg.lake_path)
+
+    def handle_lake_snapshots(self, params: dict) -> dict:
+        table = self._lake()
+        rows = [
+            {
+                "version": m["version"],
+                "committed_at_ms": m.get("committed_at_ms"),
+                "operation": (m.get("summary") or {}).get("operation"),
+                "batch_id": (m.get("properties") or {}).get("batch_id"),
+                "live": os.path.exists(table._manifest_path(m["version"])),
+            }
+            for m in table.history()
+        ]
+        return {"snapshots": rows, "count": len(rows), "current": table.version}
+
+    def handle_lake_tags(self, params: dict) -> dict:
+        from gene_etl_spark.lake.maintenance import list_tags
+
+        tags = list_tags(self._lake())
+        return {"tags": tags, "count": len(tags)}
+
+    def handle_lake_tag_create(self, body: dict | None) -> dict:
+        from gene_etl_spark.lake.maintenance import tag as create_tag
+
+        body = body or {}
+        name = body.get("name")
+        if not name or not isinstance(name, str):
+            raise ApiError(400, {"error": "Body must carry a string 'name'"})
+        try:
+            rec = create_tag(
+                self._lake(), name, version=body.get("version")
+            )
+        except ValueError as e:
+            raise ApiError(400, {"error": str(e)}) from None
+        return {"created": rec}
+
+    def handle_lake_tag_delete(self, name: str) -> dict:
+        from gene_etl_spark.lake.maintenance import drop_tag
+
+        try:
+            return drop_tag(self._lake(), name)
+        except ValueError as e:
+            raise ApiError(404, {"error": str(e)}) from None
+
+    def handle_lake_staged(self, params: dict) -> dict:
+        from gene_etl_spark.lake import wap
+
+        staged = wap.list_staged(self._lake())
+        return {"staged": staged, "count": len(staged)}
+
+    # ------------------------------------------------------------------ #
     def _make_handler(self):
         server = self
 
@@ -571,8 +636,25 @@ class ApiServer:
                     "/api/v1/validation": {
                         "GET": lambda: server.handle_validation(params)
                     },
+                    "/api/v1/lake/snapshots": {
+                        "GET": lambda: server.handle_lake_snapshots(params)
+                    },
+                    "/api/v1/lake/tags": {
+                        "GET": lambda: server.handle_lake_tags(params),
+                        "POST": lambda: server.handle_lake_tag_create(
+                            self._body()
+                        ),
+                    },
+                    "/api/v1/lake/staged": {
+                        "GET": lambda: server.handle_lake_staged(params)
+                    },
                 }
                 handlers = table.get(route)
+                if handlers is None and route.startswith("/api/v1/lake/tags/"):
+                    tag_name = route.rsplit("/", 1)[1]
+                    handlers = {
+                        "DELETE": lambda: server.handle_lake_tag_delete(tag_name)
+                    }
                 if handlers is None and route.startswith("/api/v1/etl/jobs/"):
                     job_id = route.rsplit("/", 1)[1]
                     handlers = {

@@ -282,3 +282,43 @@ def test_workspace_root_confinement(api, spark, tmp_path):
         assert status == 200 and out["count"] == 0
     finally:
         confined.stop()
+
+
+def test_lake_snapshots_tags_and_staged(api):
+    """Lake operational surface: snapshot listing, tag CRUD (scoped to
+    the server's configured lake — never a request-supplied path), and
+    the staged-WAP listing."""
+    # make sure the configured lake exists (idempotent: fencing skips
+    # already-committed batches)
+    status, _ = _call("POST", api.url + "/api/v1/etl/run", {})
+    assert status == 200
+
+    status, out = _call("GET", api.url + "/api/v1/lake/snapshots")
+    assert status == 200 and out["count"] >= 1
+    assert out["current"] == max(s["version"] for s in out["snapshots"])
+    assert all(s["live"] for s in out["snapshots"])
+
+    status, out = _call(
+        "POST", api.url + "/api/v1/lake/tags", {"name": "rel-1", "version": 1}
+    )
+    assert status == 200 and out["created"]["version"] == 1
+    status, out = _call("GET", api.url + "/api/v1/lake/tags")
+    assert status == 200 and out["tags"]["rel-1"]["version"] == 1
+
+    # immutable: duplicate name refused; bad version refused
+    status, out = _call(
+        "POST", api.url + "/api/v1/lake/tags", {"name": "rel-1"}
+    )
+    assert status == 400 and "already exists" in out["error"]
+    status, out = _call(
+        "POST", api.url + "/api/v1/lake/tags", {"name": "ghost", "version": 999}
+    )
+    assert status == 400 and "not a live snapshot" in out["error"]
+
+    status, out = _call("DELETE", api.url + "/api/v1/lake/tags/rel-1")
+    assert status == 200 and out["dropped"] == "rel-1"
+    status, out = _call("DELETE", api.url + "/api/v1/lake/tags/rel-1")
+    assert status == 404
+
+    status, out = _call("GET", api.url + "/api/v1/lake/staged")
+    assert status == 200 and out["staged"] == {}
