@@ -188,7 +188,7 @@ def read_changes(
             # (an empty placeholder would mis-report the parent's
             # surviving deltas as newly added). Report the broken
             # chain instead of guessing.
-            if parent_v is not None and op in ("merge", "merge-mor"):
+            if parent_v is not None and op in ("merge", "merge-mor", "rollback"):
                 raise ValueError(
                     f"snapshot v{parent_v} (parent of v{v}) is missing from"
                     f" the manifest chain at {table.path} — expired past the"
@@ -198,9 +198,14 @@ def read_changes(
             parent = {"deltas": {}, "files": {}}
         if op == "merge-mor":
             part = _mor_commit_changes(table, m, parent, include_preimages)
-        elif op == "merge":
+        elif op in ("merge", "rollback"):
+            # a rollback commit restores older content: the same
+            # touched-bucket diff emits the restoring U/D/UP rows, so
+            # index/rollup consumers fold the reversal (their LWW is by
+            # (_commit_version, _lsn) and these rows carry the NEW
+            # commit version) instead of going silently stale
             part = _cow_commit_changes(table, m, parent, include_preimages)
-        else:  # create / compact / expiry: no logical row changes
+        else:  # create / compact / expiry / rebucket: no logical row changes
             part = None
         if part is None:
             continue

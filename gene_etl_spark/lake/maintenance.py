@@ -351,6 +351,98 @@ def rebucket(table: LakeTable, new_num_buckets: int) -> dict:
     }
 
 
+def rollback(
+    table: LakeTable, version: int | None = None, tag_name: str | None = None
+) -> dict:
+    """Roll the table back to a live snapshot's content as a NEW commit
+    (Iceberg ``rollback_to_snapshot`` analogue) — the recovery path when
+    a bad batch published: history is preserved (the bad snapshots stay
+    readable until expiry), readers flip atomically, and the CDC change
+    feed emits the restoring U/D/UP rows like any CoW commit, so
+    downstream index/rollup consumers fold the reversal instead of
+    going silently stale (their LWW is by ``(_commit_version, _lsn)``,
+    and the restored rows carry the NEW commit version).
+
+    Metadata-only: the target's per-bucket content maps are re-linked
+    (content-addressed pieces dedupe against the target's own), no data
+    file is rewritten. ``touched`` = buckets whose piece pointers differ
+    between current and target (pointer compare, no I/O on format 2),
+    so a concurrent merge on a genuinely-changed bucket refuses via the
+    normal rebase rules. Refused across a ``rebucket`` (the target's
+    files are numbered under a different layout — rebucket again after
+    rolling back). The ingest ledger is NOT rewound: a later runner
+    resumes at its recorded LSN high-water mark; replaying the rolled-
+    back range is a ledger-level operator decision."""
+    if (version is None) == (tag_name is None):
+        raise ValueError("pass exactly one of version= / tag_name=")
+    if tag_name is not None:
+        tags = list_tags(table)
+        if tag_name not in tags:
+            raise ValueError(f"no tag {tag_name!r} on {table.path}")
+        version = tags[tag_name]["version"]
+    v_t = int(version)
+    manifest = table.manifest
+    cur_v = manifest["version"]
+    if v_t == cur_v:
+        return {"rolled_back": False, "snapshot_version": cur_v}
+    if not os.path.exists(table._manifest_path(v_t)):
+        raise ValueError(
+            f"version {v_t} of {table.path} is not a live snapshot"
+        )
+    target = table._read_manifest(v_t)
+    if target.get("num_buckets") != manifest.get("num_buckets"):
+        raise ValueError(
+            "rollback across a rebucket is unsupported: the target's files"
+            f" are laid out under num_buckets={target.get('num_buckets')},"
+            f" current is {manifest.get('num_buckets')} — roll back by"
+            " re-running rebucket against the restored state instead"
+        )
+    raw_cur = table._read_manifest_raw(cur_v)
+    raw_t = table._read_manifest_raw(v_t)
+    pc, pt = raw_cur.get("pieces"), raw_t.get("pieces")
+    if pc is not None and pt is not None:
+        touched = sorted(
+            int(b) for b in set(pc) | set(pt) if pc.get(b) != pt.get(b)
+        )
+    else:  # format-1 fallback: compare the inline maps
+        fc = manifest.get("files", {}) or {}
+        dc = manifest.get("deltas", {}) or {}
+        ft = target.get("files", {}) or {}
+        dt_ = target.get("deltas", {}) or {}
+        touched = sorted(
+            int(b)
+            for b in set(fc) | set(ft) | set(dc) | set(dt_)
+            if list(fc.get(b, []) or []) != list(ft.get(b, []) or [])
+            or list(dc.get(b, []) or []) != list(dt_.get(b, []) or [])
+        )
+    if not touched:
+        return {"rolled_back": False, "snapshot_version": cur_v}
+    new_manifest = {
+        **manifest,  # keeps the CURRENT schema (additive superset)
+        "version": cur_v + 1,
+        "parent": cur_v,
+        "files": target.get("files", {}) or {},
+        "deltas": target.get("deltas", {}) or {},
+        "file_stats": target.get("file_stats", {}) or {},
+        "lsn_stats": target.get("lsn_stats", {}) or {},
+        "properties": {"batch_id": f"rollback-v{v_t}-from-v{cur_v}"},
+        "summary": {
+            "operation": "rollback",
+            "total_rows": (target.get("summary") or {}).get("total_rows"),
+            "rolled_back_to": v_t,
+            "touched_buckets": touched,
+        },
+        "committed_at_ms": int(time.time() * 1000),
+    }
+    committed = table.commit_with_rebase(new_manifest, touched)
+    return {
+        "rolled_back": True,
+        "snapshot_version": committed["version"],
+        "target_version": v_t,
+        "touched_buckets": len(touched),
+    }
+
+
 def compact_if_needed(
     table: LakeTable,
     max_delta_files: int = 4,

@@ -15,6 +15,7 @@ rule's continuous ingest implies):
     ... tag corpus-2026q3 [--version 41]   # retention-pin a snapshot
     ... drop-tag corpus-2026q3
     ... tags
+    ... rollback --version 41 | --tag corpus-2026q3
 
 Each subcommand prints ONE JSON line so schedulers can parse results.
 """
@@ -67,6 +68,13 @@ def main() -> None:
 
     sub.add_parser("tags", help="list tags (name -> version)")
 
+    p = sub.add_parser(
+        "rollback", help="restore a live snapshot's content as a new commit"
+    )
+    g = p.add_mutually_exclusive_group(required=True)
+    g.add_argument("--version", type=int, default=None)
+    g.add_argument("--tag", default=None)
+
     args = ap.parse_args()
 
     from gene_etl_spark.lake import maintenance
@@ -101,6 +109,8 @@ def main() -> None:
         out = maintenance.drop_tag(table, args.name)
     elif args.cmd == "tags":
         out = {"table": args.table, "tags": maintenance.list_tags(table)}
+    elif args.cmd == "rollback":
+        out = maintenance.rollback(table, version=args.version, tag_name=args.tag)
     else:  # snapshots
         rows = [
             {
