@@ -198,15 +198,32 @@ def fake_decode_image(payload: bytes) -> dict:
 
 
 def decode_image(payload: bytes) -> dict:
-    """Format dispatch: genuine PNG bytes take the REAL decode path
-    (geometry and mean intensity from actual reconstructed pixels);
-    everything else falls back to the deterministic stub. The gated
-    oracle corpus uses md5-derived payloads, which can never carry the
-    8-byte PNG magic, so the driver gate pins the stub branch while the
-    PNG branch is pinned by round-trip pixel tests. GIF payloads decode
-    their first composited frame (still-image view of an animation)."""
+    """Format dispatch: genuine PNG/JPEG bytes take the REAL decode
+    paths (geometry and mean intensity from actual reconstructed
+    pixels); everything else falls back to the deterministic stub. The
+    gated oracle corpus uses md5-derived payloads, which can never carry
+    the PNG magic or the JPEG SOI+marker prefix, so the driver gate pins
+    the stub branch while the codec branches are pinned by round-trip
+    pixel tests. GIF payloads decode their first composited frame
+    (still-image view of an animation)."""
+    from gene_etl_spark.operators.jpeg import decode_jpeg, is_jpeg
+
     if payload and payload[: len(PNG_MAGIC)] == PNG_MAGIC:
         d = decode_png(payload)
+        return {
+            "width": d["width"],
+            "height": d["height"],
+            "n_bytes": len(payload),
+            "mean_byte": float(d["pixels"].mean()),
+        }
+    if is_jpeg(payload):
+        # the JPEG prefix is only 3 bytes (vs PNG's 8 / GIF's 6), so a
+        # random/md5 payload can collide with it (~2^-24): fall back to
+        # the stub on a malformed stream instead of failing the batch
+        try:
+            d = decode_jpeg(payload)
+        except (ValueError, NotImplementedError):
+            return fake_decode_image(payload)
         return {
             "width": d["width"],
             "height": d["height"],
