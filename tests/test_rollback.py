@@ -178,3 +178,83 @@ def test_rollback_across_rebucket_refuses(spark, workdir):
     rebucket(t, 8)
     with pytest.raises(ValueError, match="across a rebucket"):
         rollback(t, version=v_before)
+
+
+# ------------------------------------------------------------- race tests
+# rollback commits ride the normal optimistic-concurrency rules: a
+# concurrent merge on a bucket the rollback restores overlaps and the
+# rollback refuses; one on a bucket the rollback leaves alone (identical
+# between current and target) rebases benignly and survives.
+
+
+def _race(table, winner_fn):
+    orig = table._write_manifest
+    state = {"fired": False}
+
+    def racy(manifest, **kwargs):
+        if not state["fired"]:
+            state["fired"] = True
+            winner_fn()
+        return orig(manifest, **kwargs)
+
+    table._write_manifest = racy
+
+
+def _bucketed_pair(spark, num_buckets=4):
+    """Two conv ids landing in different buckets."""
+    from gene_etl_spark.functions import bucket_of
+    from pyspark.sql import functions as F  # noqa: F401
+
+    rows = spark.createDataFrame(
+        [(f"c{i}",) for i in range(40)], "conv_id string"
+    ).select("conv_id", bucket_of("conv_id", num_buckets).alias("b")).collect()
+    first = rows[0]
+    for r in rows[1:]:
+        if r.b != first.b:
+            return first.conv_id, r.conv_id
+    raise AssertionError("no cross-bucket pair")
+
+
+def test_rollback_race_on_restored_bucket_refuses(spark, workdir):
+    from gene_etl_spark.lake.table import CommitConflict, LakeTable
+
+    a, b = _bucketed_pair(spark)
+    t = LakeTable.create(spark, f"{workdir}/lake_race1", SCHEMA,
+                         ["conv_id", "turn_idx"], 4)
+    t.merge(_upd(spark, [(1, "I", a, 0, "x", 1.0), (2, "I", b, 0, "y", 2.0)]),
+            batch_id="b1")
+    t.merge(_upd(spark, [(3, "U", a, 0, "x", 9.0)]), batch_id="b2")
+
+    loser = LakeTable.load(spark, f"{workdir}/lake_race1")
+    winner = LakeTable.load(spark, f"{workdir}/lake_race1")
+    # winner touches conv a's bucket — exactly what the rollback restores
+    _race(loser, lambda: winner.merge(
+        _upd(spark, [(4, "U", a, 0, "x", 11.0)]), batch_id="w"))
+    with pytest.raises(CommitConflict):
+        rollback(loser, version=1)
+    final = LakeTable.load(spark, f"{workdir}/lake_race1")
+    assert _state(final.read())[(a, 0)] == ("x", 11.0)  # winner preserved
+
+
+def test_rollback_race_on_unchanged_bucket_rebases(spark, workdir):
+    from gene_etl_spark.lake.table import LakeTable
+
+    a, b = _bucketed_pair(spark)
+    t = LakeTable.create(spark, f"{workdir}/lake_race2", SCHEMA,
+                         ["conv_id", "turn_idx"], 4)
+    t.merge(_upd(spark, [(1, "I", a, 0, "x", 1.0), (2, "I", b, 0, "y", 2.0)]),
+            batch_id="b1")
+    t.merge(_upd(spark, [(3, "U", a, 0, "x", 9.0)]), batch_id="b2")
+
+    loser = LakeTable.load(spark, f"{workdir}/lake_race2")
+    winner = LakeTable.load(spark, f"{workdir}/lake_race2")
+    # winner touches conv b's bucket — identical between v1 and current,
+    # so the rollback (touched = conv a's bucket only) rebases past it
+    _race(loser, lambda: winner.merge(
+        _upd(spark, [(4, "U", b, 0, "y", 22.0)]), batch_id="w"))
+    out = rollback(loser, version=1)
+    assert out["rolled_back"]
+    final = LakeTable.load(spark, f"{workdir}/lake_race2")
+    st = _state(final.read())
+    assert st[(a, 0)] == ("x", 1.0)  # restored
+    assert st[(b, 0)] == ("y", 22.0)  # winner's concurrent change kept
