@@ -169,18 +169,41 @@ def read_changes(
     the OLD group dirty too). Order within the frame is unspecified;
     consumers needing replay order sort by (``_commit_version``,
     ``_lsn``) — both are carried."""
+    import os
+
     hi = table.version if to_version is None else to_version
-    by_version = {m["version"]: m for m in table.history()}
+
+    # Targeted manifest loads, NOT table.history(): a consumer reading
+    # (v, v+1] must cost O(range width), never O(table lifetime) — an
+    # index refresh over a 10^4-commit table would otherwise re-open
+    # every manifest ever committed on each refresh. Expired manifests
+    # still resolve (fencing history semantics, same as history()).
+    _cache: dict[int, dict | None] = {}
+
+    def _load(v: int) -> dict | None:
+        if v not in _cache:
+            p = table._manifest_path(v)
+            m = None
+            for path in (p, p.replace(".json", ".expired.json")):
+                if os.path.exists(path):
+                    import json
+
+                    with open(path) as f:
+                        m = table._inflate(json.load(f))
+                    break
+            _cache[v] = m
+        return _cache[v]
+
     out: DataFrame | None = None
     for v in range(from_version + 1, hi + 1):
-        m = by_version.get(v)
+        m = _load(v)
         if m is None:
             raise ValueError(
                 f"snapshot v{v} is missing from the manifest chain at {table.path}"
             )
         op = m.get("summary", {}).get("operation")
         parent_v = m.get("parent")
-        parent = by_version.get(parent_v)
+        parent = _load(parent_v) if parent_v is not None else None
         if parent is None:
             # a change-producing commit needs its parent snapshot to
             # diff against — on BOTH paths: the CoW diff reads the

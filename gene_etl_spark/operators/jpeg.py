@@ -503,6 +503,8 @@ def decode_jpeg(payload: bytes) -> dict:
     h, w = frame["h"], frame["w"]
     comps = frame["comps"]
     by_id = {c["id"]: c for c in comps}
+    if any(s["cs"] not in by_id for s in scan):
+        raise ValueError("JPEG scan references a component missing from SOF")
     order = [by_id[s["cs"]] for s in scan]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)

@@ -150,3 +150,29 @@ def test_point_lookup_skips_files_by_key_bounds(spark, workdir):
     g = {(r.conv_id, r.turn_idx): r.text for r in got.collect()}
     assert g == e and g
     assert len(got.inputFiles()) < len(bucket_files)  # files skipped
+
+
+def test_read_changes_cost_is_range_width_not_table_lifetime(spark, workdir):
+    """A consumer reading one commit's changes must never walk the whole
+    manifest chain (an index refresh over a 10^4-commit table would pay
+    O(lifetime) manifest opens per refresh): read_changes does targeted
+    per-version loads and never calls table.history()."""
+    runner, cfg = _ingest(spark, workdir, "mor")
+    table = runner.table
+    v = table.version
+    assert v >= 2
+
+    calls = {"history": 0}
+    orig = type(table).history
+
+    def counting(self):
+        calls["history"] += 1
+        return orig(self)
+
+    type(table).history = counting
+    try:
+        rows = read_changes(table, v - 1, v).collect()
+    finally:
+        type(table).history = orig
+    assert rows  # the last commit's changes came back
+    assert calls["history"] == 0
