@@ -611,27 +611,67 @@ class LakeTable:
                     entries.append((int(m.group(1)), self._inflate(json.load(fh))))
         return [e[1] for e in sorted(entries)]
 
+    def _fence_meta(self) -> tuple[dict[str, dict], list]:
+        """(batch_id -> fence record, [end_lsn, ...]) over the snapshot
+        chain, cached incrementally per instance.
+
+        The chain is append-only and expiry only RENAMES manifests
+        (content unchanged), so the cache extends from its high-water
+        version instead of re-opening every manifest — per-call fencing
+        cost is O(new commits), not O(table lifetime) (a streaming epoch
+        or index refresh checks fencing every batch; over a 10^4-commit
+        table the old full walk was quadratic across a run). Freshness
+        across processes comes from ``self.version`` (a live dir scan),
+        so another writer's commits are always picked up. Raw manifests
+        suffice: properties never live in pieces."""
+        cur = self.version
+        cached = self.__dict__.get("_fence_cache")
+        if cached is not None and cached[0] == cur:
+            return cached[1], cached[2]
+        if cached is None or cached[0] > cur:
+            batches: dict[str, dict] = {}
+            ends: list = []
+            start = 0
+        else:
+            batches = dict(cached[1])
+            ends = list(cached[2])
+            start = cached[0] + 1
+        for v in range(start, cur + 1):
+            p = self._manifest_path(v)
+            raw = None
+            for path in (p, p.replace(".json", ".expired.json")):
+                try:
+                    with open(path) as f:
+                        raw = json.load(f)
+                    break
+                except FileNotFoundError:
+                    continue
+            if raw is None:
+                continue
+            props = raw.get("properties") or {}
+            bid = props.get("batch_id")
+            if bid:
+                batches[bid] = {
+                    "version": raw["version"],
+                    "start_lsn": props.get("start_lsn"),
+                    "end_lsn": props.get("end_lsn"),
+                }
+            if props.get("end_lsn") is not None:
+                ends.append(props["end_lsn"])
+        self._fence_cache = (cur, batches, ends)
+        return batches, ends
+
     def committed_batches(self) -> dict[str, dict]:
         """batch_id -> {version, start_lsn, end_lsn} over the snapshot chain.
 
-        This is the fencing source of truth (the ledger is a cache of it)."""
-        out: dict[str, dict] = {}
-        for m in self.history():
-            bid = m.get("properties", {}).get("batch_id")
-            if bid:
-                out[bid] = {
-                    "version": m["version"],
-                    "start_lsn": m["properties"].get("start_lsn"),
-                    "end_lsn": m["properties"].get("end_lsn"),
-                }
-        return out
+        This is the fencing source of truth (the ledger is a cache of
+        it). Incrementally cached — see ``_fence_meta``; the returned
+        dict is a copy, safe to hold."""
+        batches, _ = self._fence_meta()
+        return dict(batches)
 
     def max_committed_end_lsn(self) -> int | None:
-        ends = [
-            m["properties"].get("end_lsn")
-            for m in self.history()
-            if m.get("properties", {}).get("end_lsn") is not None
-        ]
+        _, ends = self._fence_meta()
         return max(ends) if ends else None
 
     # ------------------------------------------------------------------ #

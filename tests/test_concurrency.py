@@ -141,3 +141,28 @@ def test_duplicate_batch_id_race_refuses(spark, workdir):
         loser.merge(_upd(spark, [(2, "U", a, 0, "a1")]), batch_id="dup")
     final = LakeTable.load(spark, f"{workdir}/lake")
     assert final.version == 2  # exactly one application of the batch
+
+
+def test_fencing_cache_sees_other_writers_and_expiry(spark, workdir):
+    """committed_batches is incrementally cached per instance; the cache
+    anchors on a live dir scan, so another writer's commits always show,
+    and expired manifests keep fencing (expiry renames, never removes)."""
+    t1 = LakeTable.create(
+        spark, f"{workdir}/lake_fc", SCHEMA, ["conv_id", "turn_idx"], 4
+    )
+    t1.merge(_upd(spark, [(1, "I", "c0", 0, "a")]), batch_id="b1")
+    t2 = LakeTable.load(spark, f"{workdir}/lake_fc")
+    assert set(t2.committed_batches()) == {"b1"}  # warm t2's cache
+
+    # another instance commits: t2 must see it without a reload
+    t1.merge(_upd(spark, [(2, "I", "c1", 0, "b")]), batch_id="b2")
+    assert {"b1", "b2"} <= set(t2.committed_batches())
+    assert t2.max_committed_end_lsn() == t1.max_committed_end_lsn()
+
+    # expiry renames old manifests; they still fence through the cache
+    from gene_etl_spark.lake.maintenance import expire_snapshots
+
+    expire_snapshots(t1, keep_last=0)
+    fresh = LakeTable.load(spark, f"{workdir}/lake_fc")
+    assert {"b1", "b2"} <= set(fresh.committed_batches())
+    assert {"b1", "b2"} <= set(t2.committed_batches())
