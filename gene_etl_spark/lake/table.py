@@ -346,11 +346,23 @@ class LakeTable:
                 # parent None = we thought we were creating the table;
                 # losing that race means EVERY existing commit is a
                 # winner to check against (an empty winners list here
-                # would skip both safety checks and rebase blindly)
-                winners = [
-                    m for m in self.history()
-                    if base_version is None or m["version"] > base_version
-                ]
+                # would skip both safety checks and rebase blindly).
+                # Targeted loads (live or expired), not history(): the
+                # winner set is (parent, latest], a handful of commits —
+                # never re-open the whole chain inside a conflict retry.
+                winners = []
+                for v in range(
+                    0 if base_version is None else base_version + 1,
+                    latest["version"] + 1,
+                ):
+                    p = self._manifest_path(v)
+                    for path in (p, p.replace(".json", ".expired.json")):
+                        try:
+                            with open(path) as f:
+                                winners.append(self._inflate(json.load(f)))
+                            break
+                        except FileNotFoundError:
+                            continue
                 if batch_id and any(
                     (m.get("properties") or {}).get("batch_id") == batch_id
                     for m in winners
