@@ -24,12 +24,21 @@ class Ledger:
         os.makedirs(self.path, exist_ok=True)
 
     def entries(self) -> list[dict]:
-        out = []
-        for fn in sorted(os.listdir(self.path)):
-            if fn.endswith(".json"):
+        """All entries, oldest-lsn first. Incrementally cached: entry
+        files are immutable once linked and the directory only grows, so
+        each call re-LISTS the directory (cross-process freshness, one
+        syscall) but only OPENS files it hasn't seen — per-batch fencing
+        cost stays O(new batches), not O(run lifetime)."""
+        cache: dict[str, dict] = self.__dict__.setdefault("_entry_cache", {})
+        names = {fn for fn in os.listdir(self.path) if fn.endswith(".json")}
+        for fn in names:
+            if fn not in cache:
                 with open(os.path.join(self.path, fn)) as f:
-                    out.append(json.load(f))
-        return out
+                    cache[fn] = json.load(f)
+        for fn in list(cache):
+            if fn not in names:  # defensive: entries are never removed
+                del cache[fn]
+        return [cache[fn] for fn in sorted(cache)]
 
     def committed(self) -> list[dict]:
         return [e for e in self.entries() if e.get("status") == "committed"]
