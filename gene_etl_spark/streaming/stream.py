@@ -25,10 +25,15 @@ instead of replanning the whole log from scratch.
 
 Late/out-of-order data: intra-epoch disorder is resolved by the LWW
 window; cross-epoch disorder by the MERGE guard (a later-arriving lower
-LSN loses to the applied row). The known CoW limit — a tombstoned key
-cannot compare LSNs against a later-arriving older update — matches the
-batch contract (monotone-ish source ordering; Parquet file streams are
-consumed in modification-time order, which the tranche writer provides).
+LSN loses to the applied row). Every epoch additionally drops events at
+or below the reconciled resume point (``Ledger.resume_lsn`` over ledger
+∪ snapshot chain — the same contract batch resume uses), so a
+fresh-checkpoint stream over an already-ingested lake skips the log
+instead of replaying it: the CoW corner where an unfenced replay's
+older insert could resurrect a tombstoned key is dead on this surface.
+The residual CoW limit matches the batch contract for genuinely NEW
+events (monotone-ish source ordering; Parquet file streams are consumed
+in modification-time order, which the tranche writer provides).
 """
 
 from __future__ import annotations
@@ -120,6 +125,18 @@ def ingest_stream(
         os.path.abspath(checkpoint_dir).encode("utf-8")
     ).hexdigest()[:8]
 
+    # LSN floor: everything at or below the reconciled resume point
+    # (ledger ∪ snapshot chain — the SAME contract batch resume uses) is
+    # already applied, so each epoch drops it up front. This makes a
+    # fresh-checkpoint stream over an already-ingested lake a no-op
+    # instead of an unfenced replay — the CoW corner where a replayed
+    # older insert could resurrect a tombstoned key (epoch-boundary-
+    # dependent, formerly documented out of contract) is now dead on the
+    # streaming surface. Computed once at stream start: the engine is
+    # single-writer per ledger, and this stream's own epochs only ever
+    # carry LSNs above it.
+    floor_lsn = ledger.resume_lsn(table)
+
     def apply_epoch(df, epoch_id: int) -> None:
         batch_id = f"stream-{ckpt_fp}-epoch-{epoch_id}"
         committed = table.committed_batches()
@@ -135,7 +152,9 @@ def ingest_stream(
         from pyspark.sql import functions as F
         from pyspark.storagelevel import StorageLevel
 
-        cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+        cached = df.where(F.col("lsn") > F.lit(floor_lsn)).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         try:
             bounds = cached.agg(
                 F.count(F.lit(1)).alias("n"),

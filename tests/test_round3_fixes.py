@@ -107,7 +107,11 @@ def test_legacy_stream_fence_different_slice_applies(spark, workdir):
     v = table.version
 
     summary = ingest_stream(spark, cfg, os.path.join(workdir, "ckpt"))
-    assert summary["events"] == 400  # applied, not swallowed
+    # the NEW slice (200, 400] applies — not swallowed by the legacy
+    # epoch-0 fence; the already-applied (0, 200] is dropped by the
+    # resume-point LSN floor rather than replayed (r5: the floor made
+    # unfenced replay of applied slices a non-event on this surface)
+    assert summary["events"] == 200
     final = LakeTable.load(spark, cfg.lake_path)
     assert final.version > v
 

@@ -53,16 +53,17 @@ def test_streaming_ingest_equals_oracle(spark, workdir):
     assert Ledger(cfg.ledger_path).resume_lsn(table) == 3000
     assert table.max_committed_end_lsn() == 3000
 
-    # a NEW checkpoint restarts epoch ids at 0 — the fence key is
-    # namespaced per checkpoint, so those epochs must NOT be silently
-    # swallowed by the old run's "epoch-0" commit; the replay applies
-    # (and converges to the same state via the LWW guard)
+    # a NEW checkpoint restarts epoch ids at 0; the LSN floor (the same
+    # reconciled resume point batch runs use) drops the already-applied
+    # log up front, so the fresh stream is a clean no-op — never an
+    # unfenced replay (which on CoW could resurrect a tombstoned key
+    # depending on epoch boundaries). State unchanged, nothing applied.
     fresh = ingest_stream(
         spark, cfg, os.path.join(workdir, "ckpt2"), max_files_per_trigger=2
     )
-    assert fresh["events"] == 3000  # replayed, not skipped
+    assert fresh["events"] == 0  # floored at the resume point, not replayed
     table2 = LakeTable.load(spark, cfg.lake_path)
-    assert table2.version > v
+    assert table2.version == v
     assert_replay_equal(
         table2.read().toPandas(), materialize_expected(cfg.events_path)
     )
