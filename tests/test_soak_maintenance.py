@@ -47,11 +47,32 @@ def _upd(spark, rows):
     )
 
 
-def _read_state(table):
+def _upd_evolved(spark, rows):
+    """Same events plus an additive ``tool`` column (schema evolution)."""
+    return spark.createDataFrame(
+        [
+            (lsn, op, c, t, x, tool, dt.datetime(2024, 1, 1, 0, 0, lsn % 60))
+            for (lsn, op, c, t, x, tool) in rows
+        ],
+        "lsn long, op string, conv_id string, turn_idx int, text string,"
+        " tool string, ts timestamp",
+    )
+
+
+def _state_of(df):
+    if "tool" in df.columns:
+        return {
+            (r.conv_id, r.turn_idx): (r.text, r.tool)
+            for r in df.select("conv_id", "turn_idx", "text", "tool").collect()
+        }
     return {
-        (r.conv_id, r.turn_idx): r.text
-        for r in table.read().select("conv_id", "turn_idx", "text").collect()
+        (r.conv_id, r.turn_idx): (r.text, None)
+        for r in df.select("conv_id", "turn_idx", "text").collect()
     }
+
+
+def _read_state(table):
+    return _state_of(table.read())
 
 
 @pytest.mark.parametrize("seed", [101, 202])
@@ -76,18 +97,26 @@ def test_random_maintenance_walk_stays_oracle_exact(spark, workdir, seed):
         )[0]
         try:
             if op == "merge":
+                # after the midpoint the stream evolves: some batches
+                # carry an additive `tool` column; a NARROW batch after
+                # evolution is legal too (missing columns null-fill), and
+                # its full-row LWW replace nulls the key's tool — the
+                # model mirrors both, so evolution × rollback × compact
+                # interplay is all under the walk
+                evolved_batch = step >= n_ops // 2 and rng.random() < 0.6
                 rows = []
                 for _ in range(rng.randint(1, 8)):
                     lsn += 1
                     c, ti = rng.choice(KEYS)
                     if (c, ti) in model and rng.random() < 0.3:
-                        rows.append((lsn, "D", c, ti, None))
+                        rows.append((lsn, "D", c, ti, None, None))
                         model.pop((c, ti), None)
                     else:
                         txt = f"v{lsn}"
+                        tool = f"t{lsn}" if evolved_batch else None
                         kind = "U" if (c, ti) in model else "I"
-                        rows.append((lsn, kind, c, ti, txt))
-                        model[(c, ti)] = txt
+                        rows.append((lsn, kind, c, ti, txt, tool))
+                        model[(c, ti)] = (txt, tool)
                 # the model applies in list order; LWW by lsn agrees
                 # because lsn increases within the batch. MERGE INPUT
                 # CONTRACT: one row per key (the runner LWW-dedups every
@@ -99,11 +128,19 @@ def test_random_maintenance_walk_stays_oracle_exact(spark, workdir, seed):
                 deduped = sorted(last.values())
                 batch += 1
                 mode = rng.choice(["cow", "mor"])
+                df = (
+                    _upd_evolved(spark, deduped)
+                    if evolved_batch
+                    else _upd(spark, [r[:5] for r in deduped])
+                )
                 t.merge(
-                    _upd(spark, deduped), batch_id=f"b{batch}", mode=mode,
+                    df, batch_id=f"b{batch}", mode=mode,
                     start_lsn=rows[0][0] - 1, end_lsn=lsn,
                 )
-                history.append((f"merge[{mode}]", f"n={len(rows)}"))
+                history.append(
+                    (f"merge[{mode}{'+ev' if evolved_batch else ''}]",
+                     f"n={len(rows)}")
+                )
             elif op == "compact":
                 if rng.random() < 0.5:
                     out = mt.compact(t)
@@ -162,10 +199,5 @@ def test_random_maintenance_walk_stays_oracle_exact(spark, workdir, seed):
     assert _read_state(t) == model
     for name in live_tags:
         v = mt.list_tags(t)[name]["version"]
-        tagged = {
-            (r.conv_id, r.turn_idx): r.text
-            for r in mt.read_tag(t, name)
-            .select("conv_id", "turn_idx", "text")
-            .collect()
-        }
+        tagged = _state_of(mt.read_tag(t, name))
         assert tagged == model_by_version[v], f"tag {name} state diverged"
