@@ -92,8 +92,8 @@ def test_random_maintenance_walk_stays_oracle_exact(spark, workdir, seed):
     for step in range(n_ops):
         op = rng.choices(
             ["merge", "compact", "rollback", "tag", "expire", "vacuum",
-             "rebucket"],
-            weights=[8, 2, 2, 2, 1, 1, 1],
+             "rebucket", "wap"],
+            weights=[8, 2, 2, 2, 1, 1, 1, 2],
         )[0]
         try:
             if op == "merge":
@@ -183,6 +183,50 @@ def test_random_maintenance_walk_stays_oracle_exact(spark, workdir, seed):
                 new_n = 8 if t.num_buckets == 4 else 4
                 mt.rebucket(t, new_n)
                 history.append(("rebucket", str(new_n)))
+            elif op == "wap":
+                # stage a batch, optionally vacuum while staged (pins
+                # must hold), then publish (model applies) or abandon
+                # (model unchanged, stage reclaimed)
+                from gene_etl_spark.lake import wap
+
+                rows = []
+                staged_model = dict(model)
+                for _ in range(rng.randint(1, 5)):
+                    lsn += 1
+                    c, ti = rng.choice(KEYS)
+                    if (c, ti) in staged_model and rng.random() < 0.3:
+                        rows.append((lsn, "D", c, ti, None, None))
+                        staged_model.pop((c, ti), None)
+                    else:
+                        txt = f"v{lsn}"
+                        rows.append((
+                            lsn,
+                            "U" if (c, ti) in staged_model else "I",
+                            c, ti, txt, None,
+                        ))
+                        staged_model[(c, ti)] = (txt, None)
+                last = {}
+                for r in rows:
+                    last[(r[2], r[3])] = r
+                batch += 1
+                sid = f"soak-stage-{batch}"
+                t.merge(
+                    _upd(spark, [r[:5] for r in sorted(last.values())]),
+                    batch_id=f"b{batch}", mode=rng.choice(["cow", "mor"]),
+                    start_lsn=rows[0][0] - 1, end_lsn=lsn, stage_id=sid,
+                )
+                # invisible while staged
+                assert _read_state(t) == model
+                if rng.random() < 0.5:
+                    mt.vacuum(t, older_than_sec=0)  # staged bytes pinned
+                if rng.random() < 0.5:
+                    wap.publish_staged(t, sid)
+                    model = staged_model
+                    history.append(("wap-publish", f"n={len(rows)}"))
+                else:
+                    wap.abandon_staged(t, sid)
+                    history.append(("wap-abandon", f"n={len(rows)}"))
+                assert wap.list_staged(t) == {}
         except Exception:
             raise AssertionError(f"step {step} {op} blew up; history={history}")
 
