@@ -86,6 +86,12 @@ def bench_cdc_apply(cores: int) -> dict:
         "cores": r["cores"],
         "wall_sec": r["wall_sec"],
         "events_per_sec": r["steady_state_events_per_sec"],
+        # per-batch provenance: the steady-state number is derivable
+        # from these arrays in the artifact itself (median + stall
+        # flags make a box-phase draw machine-adjudicable)
+        "per_batch": r.get("per_batch", []),
+        "ss_batch_wall_median_sec": r.get("ss_batch_wall_median_sec"),
+        "stalled_batches": r.get("stalled_batches", []),
     }
 
 
@@ -179,6 +185,9 @@ def main() -> None:
         "cores": cores,
         "cdc_events": cdc["events"],
         "headline_total_sec": round(sum(timings.values()), 3),
+        "cdc_per_batch": cdc["per_batch"],
+        "cdc_ss_batch_wall_median_sec": cdc["ss_batch_wall_median_sec"],
+        "cdc_stalled_batches": cdc["stalled_batches"],
     }
     out.update(query_deltas(timings))
     print(json.dumps(out))

@@ -92,6 +92,32 @@ def main() -> None:
     } if ss else {}
     mean_wall = round(sum(b["wall_ms"] for b in ss) / len(ss) / 1000.0, 3) if ss else 0.0
 
+    # Per-batch provenance (round-5 verdict item 3): the steady-state
+    # number's inputs are in the artifact itself, so a box-phase stall
+    # (this machine shows ±30% draws under co-tenancy) is visible and
+    # attributable to a phase rather than living in prose. A batch is
+    # flagged stalled when its wall exceeds 1.5× the steady-state median.
+    per_batch = [
+        {
+            "batch": i,
+            "events": b["events_read"],
+            "wall_sec": round(b["wall_ms"] / 1000.0, 3),
+            "ev_per_sec": round(b["events_read"] / (b["wall_ms"] / 1000.0), 1)
+            if b["wall_ms"]
+            else 0.0,
+            "phases": b.get("phases") or {},
+            "warmup": i < 2,
+        }
+        for i, b in enumerate(batches)
+    ]
+    ss_walls = sorted(b["wall_sec"] for b in per_batch if not b["warmup"])
+    median = ss_walls[len(ss_walls) // 2] if ss_walls else 0.0
+    stalled = [
+        b["batch"]
+        for b in per_batch
+        if not b["warmup"] and median and b["wall_sec"] > 1.5 * median
+    ]
+
     out = {
         "cores": args.cores,
         "mode": args.mode,
@@ -104,6 +130,9 @@ def main() -> None:
         "final_rows": final_rows,
         "ss_batch_wall_mean_sec": mean_wall,
         "ss_phase_means_sec": phase_means,
+        "per_batch": per_batch,
+        "ss_batch_wall_median_sec": median,
+        "stalled_batches": stalled,
     }
     print(json.dumps(out))
     if args.json_out:

@@ -85,6 +85,22 @@ class IngestConfig:
     # read amplification stays bounded (≤ 1 base + K deltas per bucket)
     # without anyone hand-scheduling maintenance. None = off.
     compact_delta_files_per_bucket: int | None = None
+    # Metadata retention (the 10^10-event hygiene policy): every N
+    # batches, expire snapshots older than the last `expire_keep_last`
+    # (tag-pinned versions stay live) and vacuum unreferenced data files
+    # + manifest pieces. Without this, manifests/pieces/data accumulate
+    # one-per-commit forever. None = off (manual maintenance only).
+    expire_every_n_batches: int | None = None
+    expire_keep_last: int = 20
+    # Vacuum grace window for concurrent writers (Iceberg
+    # remove_orphan_files older_than analogue). The batch runner is
+    # usually the table's only writer; 0.0 is safe there and reclaims
+    # immediately. Raise it when another process may be mid-commit.
+    vacuum_grace_sec: float = 0.0
+    # Ledger segment compaction: fold loose per-batch checkpoint JSONs
+    # into one segment file when more than this many are loose (doubling
+    # trigger keeps rewrite work amortized O(1)/batch). None = off.
+    ledger_compact_min_loose: int | None = None
 
     # --- execution ----------------------------------------------------------
     shuffle_partitions: int | None = None  # default: match cores
@@ -108,6 +124,14 @@ class IngestConfig:
             raise ValueError("source_format must be 'parquet' or 'jsonl'")
         if self.source_format == "jsonl" and not self.source_schema_json:
             raise ValueError("jsonl sources require source_schema_json")
+        if self.expire_every_n_batches is not None and self.expire_every_n_batches < 1:
+            raise ValueError("expire_every_n_batches must be >= 1")
+        if self.expire_keep_last < 1:
+            raise ValueError("expire_keep_last must be >= 1")
+        if self.vacuum_grace_sec < 0:
+            raise ValueError("vacuum_grace_sec must be >= 0")
+        if self.ledger_compact_min_loose is not None and self.ledger_compact_min_loose < 1:
+            raise ValueError("ledger_compact_min_loose must be >= 1")
 
 
 def config_hash(cfg: IngestConfig) -> str:

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 
 from pyspark.sql import DataFrame
@@ -483,16 +484,24 @@ def expire_snapshots(table: LakeTable, keep_last: int = 10) -> dict:
     cutoff = current - keep_last
     pinned = {rec["version"] for rec in list_tags(table).values()}
     expired = 0
-    # the CURRENT snapshot is always retained (keep_last=0 would
-    # otherwise expire the head and brick the table: vacuum could then
-    # reclaim the live state's own files)
-    for v in range(min(cutoff + 1, current)):
-        if v in pinned:
+    # One dir listing, then rename only LIVE manifests below the cutoff
+    # — after the first expiry the live set is bounded (keep_last + tag
+    # pins), so calling this every N batches from the ingest loop costs
+    # O(live), never O(total commits). The CURRENT snapshot is always
+    # retained (keep_last=0 would otherwise expire the head and brick
+    # the table: vacuum could then reclaim the live state's own files).
+    mdir = os.path.join(table.path, MANIFEST_DIR)
+    live = [
+        int(m.group(1))
+        for fn in os.listdir(mdir)
+        if (m := re.fullmatch(r"v(\d+)\.json", fn))
+    ]
+    for v in live:
+        if v > cutoff or v == current or v in pinned:
             continue
         p = table._manifest_path(v)
-        if os.path.exists(p):
-            os.rename(p, p.replace(".json", ".expired.json"))
-            expired += 1
+        os.rename(p, p.replace(".json", ".expired.json"))
+        expired += 1
     return {
         "expired": expired,
         "kept_from": max(cutoff + 1, 0),

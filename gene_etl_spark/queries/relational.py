@@ -491,24 +491,62 @@ FROM lineitem GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------- #
-# §2.7 set ops: anti-join (reference consistency validation via Python
-# set difference, etl/validate.py:299-341 → leftanti)
+# §2.7 set ops, ONE gated entry covering both forms (reference
+# consistency validation via Python set difference,
+# etl/validate.py:299-341): leg 1 is the leftanti join (customers with
+# no orders, per segment), leg 2 is exceptAll (order keys minus
+# lineitem order keys, multiset semantics). Merged from the round-2
+# `anti_join` + `except_all` entries to free a slot in the driver's
+# 50-query cap for `asof_temporal` (round-5 verdict item 2); both
+# operators' coverage is preserved, distinguishable by `set_op`.
 # --------------------------------------------------------------------- #
-def q_anti_join(spark, sf_dir):
+def q_set_ops(spark, sf_dir):
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
-    return (
+    li = load(spark, sf_dir, "lineitem")
+    anti = (
         cust.join(orders.select("o_custkey"), cust.c_custkey == F.col("o_custkey"), "leftanti")
         .groupBy("c_mktsegment")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_idle_customers"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.lit("anti_customers").alias("set_op"),
+            F.col("c_mktsegment").alias("grp"),
+            F.col("n"),
+            F.lit(None).cast("long").alias("n_distinct"),
+        )
     )
+    exc = (
+        orders.select(F.col("o_orderkey").alias("orderkey"))
+        .exceptAll(li.select(F.col("l_orderkey").alias("orderkey")))
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct("orderkey").cast("long").alias("n_distinct"),
+        )
+        .select(
+            F.lit("except_orders").alias("set_op"),
+            F.lit("ALL").alias("grp"),
+            F.col("n"),
+            F.col("n_distinct"),
+        )
+    )
+    return anti.unionByName(exc)
 
 
-SQL_ANTI_JOIN = """
-SELECT c_mktsegment, COUNT(*)::BIGINT AS n_idle_customers
+SQL_SET_OPS = """
+SELECT 'anti_customers' AS set_op, c_mktsegment AS grp,
+       COUNT(*)::BIGINT AS n, NULL::BIGINT AS n_distinct
 FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-GROUP BY 1
+GROUP BY 2
+UNION ALL
+SELECT 'except_orders' AS set_op, 'ALL' AS grp,
+       COUNT(*)::BIGINT AS n, COUNT(DISTINCT orderkey)::BIGINT AS n_distinct
+FROM (
+  SELECT o_orderkey AS orderkey FROM orders
+  EXCEPT ALL
+  SELECT l_orderkey AS orderkey FROM lineitem
+)
 """
 
 
@@ -722,7 +760,7 @@ QUERIES = {
     "rank_page": q_rank_page,
     "lww_latest_event": q_lww_latest_event,
     "canonical_pairs": q_canonical_pairs,
-    "anti_join": q_anti_join,
+    "set_ops": q_set_ops,
     "pivot": q_pivot,
     "bh_fdr": q_bh_fdr,
     "corr_methods": q_corr_methods,
@@ -743,7 +781,7 @@ ORACLES = {
     "rank_page": SQL_RANK_PAGE,
     "lww_latest_event": SQL_LWW_LATEST_EVENT,
     "canonical_pairs": SQL_CANONICAL_PAIRS,
-    "anti_join": SQL_ANTI_JOIN,
+    "set_ops": SQL_SET_OPS,
     "pivot": SQL_PIVOT,
     "bh_fdr": SQL_BH_FDR,
     "corr_methods": SQL_CORR_METHODS,

@@ -150,16 +150,61 @@ FROM merged GROUP BY 1
 # (gene_etl_spark/config.py). `approx_distinct` merged into the gated
 # `count_distinct` entry (exact counts + bounded-relative-error flag).
 
+# --------------------------------------------------------------------- #
+# Temporal as-of join, driver-gated (round-5 verdict item 2): every
+# purchase event decorated with the latest click at-or-before it per
+# user. Spark side is operators/temporal.py's union-and-window form
+# (ONE hash shuffle on user_id — never Catalyst's nested-loop on the
+# inequality); the DuckDB twin is the native ASOF JOIN. The right side
+# is pre-deduped to unique (user_id, ts) — equal-time right duplicates
+# are documented caller-dedup territory on both engines.
+# --------------------------------------------------------------------- #
+def q_asof_temporal(spark, sf_dir):
+    from gene_etl_spark.operators.temporal import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.round("value", 4).alias("purchase_value")
+    )
+    right = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 4).alias("click_value"))
+    )
+    j = asof_join(left, right, on="ts", by="user_id", direction="backward")
+    return j.select(
+        "event_id",
+        "user_id",
+        "purchase_value",
+        "click_value",
+        F.col("__asof_t_right").alias("click_ts"),
+    )
+
+
+SQL_ASOF_TEMPORAL = """
+WITH l AS (
+  SELECT event_id, user_id, ts, ROUND(value, 4) AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+), r AS (
+  SELECT user_id, ts, ROUND(MAX(value), 4) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+)
+SELECT l.event_id, l.user_id, l.purchase_value,
+       r.click_value AS click_value, r.ts AS click_ts
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 QUERIES = {
     "recent_daily_rollup": q_recent_daily_rollup,
     "null_fill_grid": q_null_fill_grid,
-    "except_all": q_except_all,
     "union_evolved": q_union_evolved,
+    "asof_temporal": q_asof_temporal,
 }
 
 ORACLES = {
     "recent_daily_rollup": SQL_RECENT_DAILY_ROLLUP,
     "null_fill_grid": SQL_NULL_FILL_GRID,
-    "except_all": SQL_EXCEPT_ALL,
     "union_evolved": SQL_UNION_EVOLVED,
+    "asof_temporal": SQL_ASOF_TEMPORAL,
 }
