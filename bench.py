@@ -42,7 +42,7 @@ HEADLINE = [
     "corr_kendall",
     "ann_topk",
     "lang_id",
-    "token_stats",
+    "text_quality",
 ]
 
 # CDC bench stream parameters (deterministic; generated once per /tmp)

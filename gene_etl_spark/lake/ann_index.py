@@ -62,6 +62,38 @@ def srp_cell_expr(emb_col: str, dim: int, n_bits: int) -> Column:
     return cell
 
 
+def nearest_cell_expr(emb_col: str, centroids: np.ndarray) -> Column:
+    """Assignment under a refined (Lloyd) quantizer: argmax of
+    emb · (centroid/‖centroid‖) over the K pinned centroid constants.
+    Still a pure function of the row's OWN payload — the centroids are
+    quantizer PARAMETERS pinned in ``_ann_meta.json`` exactly like the
+    SRP seed, so incremental maintenance stays exact (a preimage maps
+    to the same cell its upsert mapped to). Ties break to the lowest
+    cell id via the packed (score, -cell) struct max; a zero-norm
+    centroid (empty cell) scores -inf and can never win; a NaN dot is
+    nanvl-guarded for the same reason the search cosines are."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    packed = []
+    neg_inf = F.lit(float("-inf"))
+    for i, c in enumerate(cents):
+        n = float(np.linalg.norm(c))
+        if n > 0.0:
+            consts = F.array(*[F.lit(float(x) / n) for x in c])
+            dot = F.aggregate(
+                F.zip_with(
+                    F.col(emb_col), consts, lambda x, y: (x * y).cast("double")
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            score = F.coalesce(F.nanvl(dot, neg_inf), neg_inf)
+        else:
+            score = neg_inf
+        packed.append(F.struct(score.alias("s"), F.lit(-i).alias("negc")))
+    m = F.array_max(F.array(*packed))
+    return (-m["negc"]).cast("int")
+
+
 class IvfVectorIndex:
     def __init__(
         self,
@@ -105,6 +137,12 @@ class IvfVectorIndex:
         self.vec_key = vec_key
 
         meta_path = os.path.join(os.path.abspath(path), "_ann_meta.json")
+        self._meta_path = meta_path
+        # refined (Lloyd) quantizer state — loaded from the sidecar below
+        self.refined_centroids = None
+        self.quantizer_gen = 0
+        self._refine_batch_id = None
+        self._refine_base_version = None
         if LakeTable.exists(path):
             self.table = LakeTable.load(spark, path)
             if os.path.exists(meta_path):
@@ -125,6 +163,13 @@ class IvfVectorIndex:
                         )
                 self.dim = int(meta["dim"])
                 self.n_bits = int(meta["n_bits"])
+                if meta.get("refined_centroids") is not None:
+                    self.refined_centroids = np.asarray(
+                        meta["refined_centroids"], dtype=np.float64
+                    )
+                    self.quantizer_gen = int(meta.get("quantizer_gen", 1))
+                    self._refine_batch_id = meta.get("refine_batch_id")
+                    self._refine_base_version = meta.get("refine_base_version")
             else:  # pre-sidecar index: trust the caller, but require dim
                 if dim is None:
                     raise ValueError("dim is required for an index without _ann_meta.json")
@@ -181,6 +226,8 @@ class IvfVectorIndex:
 
     # ------------------------------------------------------------------ #
     def _cell(self) -> Column:
+        if self.refined_centroids is not None:
+            return nearest_cell_expr(self.emb_col, self.refined_centroids)
         return srp_cell_expr(self.emb_col, self.dim, self.n_bits)
 
     def last_indexed_version(self) -> int:
@@ -195,9 +242,23 @@ class IvfVectorIndex:
         on the same (cell, vec) slot (update that does NOT move cells):
         the tombstone set is anti-joined against the upsert keys, and
         LSN-space doubles as belt-and-suspenders (tombstones commit at
-        2·version, upserts at 2·version+1, both monotone)."""
+        4·version, upserts at 4·version+1, both monotone; the ×4
+        scale leaves +2/+3 headroom for refine_centroids' same-version
+        reassignment commit)."""
         self.base._manifest_cache = None
         self.table._manifest_cache = None
+        # crash heal: the refined quantizer was pinned to the sidecar
+        # but the reassignment commit never landed (crash between the
+        # two) — folding the feed under the new quantizer against
+        # old-quantizer slots would make preimage tombstones miss, so
+        # redo the (idempotent) reassignment first
+        if (
+            self._refine_batch_id is not None
+            and self._refine_batch_id not in self.table.committed_batches()
+        ):
+            self._apply_reassignment(
+                self._refine_batch_id, int(self._refine_base_version)
+            )
         bm = self.base.manifest
         last = self.last_indexed_version()
         cur = bm["version"]
@@ -271,14 +332,14 @@ class IvfVectorIndex:
         emb_type = next(f.dataType for f in self.table.schema.fields if f.name == ec)
         updates = (
             ups.select("cell", vk, ec, F.lit("U").alias("op"))
-            .withColumn("lsn", F.lit(2 * cur + 1).cast("long"))
+            .withColumn("lsn", F.lit(4 * cur + 1).cast("long"))
             .unionByName(
                 gone.select(
                     "cell",
                     vk,
                     F.lit(None).cast(emb_type).alias(ec),
                     F.lit("D").alias("op"),
-                ).withColumn("lsn", F.lit(2 * cur).cast("long"))
+                ).withColumn("lsn", F.lit(4 * cur).cast("long"))
             )
             .withColumn("ts", F.lit(None).cast("timestamp"))
         )
@@ -305,6 +366,134 @@ class IvfVectorIndex:
             "slots_changed": result.inserts + result.updates + result.deletes,
             "centroids": cent,
         }
+
+    # ------------------------------------------------------------------ #
+    # Lloyd refinement (round-5 verdict item 4): SRP cells are
+    # training-free but cap single-probe recall (~0.73-0.77 measured) —
+    # hyperplanes cut straight through natural clusters. One or two
+    # Lloyd passes re-fit the 2^n_bits cells to the data, then the
+    # WHOLE assignment table is rewritten under the refined quantizer
+    # in one fenced commit (the rebucket pattern: a maintenance op, not
+    # a feed fold). The refined centroids become pinned quantizer
+    # parameters in _ann_meta.json — assignment stays a pure function
+    # of a row's own payload, so incremental refresh stays exact.
+    # ------------------------------------------------------------------ #
+    def refine_centroids(self, iters: int = 2) -> dict:
+        """Refine the coarse quantizer with ``iters`` Lloyd passes over
+        the current corpus, pin the refined centroids, and reassign
+        every vector. Cost ∝ corpus (a maintenance op, like rebucket —
+        never on the per-batch path); requires the caller to be the
+        index's only writer for the duration. Crash-safe: the sidecar
+        records the reassignment batch_id before the commit, and
+        ``refresh`` heals an un-landed reassignment idempotently."""
+        import json as _json
+        import os
+        import uuid as _uuid
+
+        self.refresh()  # assignment must mirror the base first
+        self.base._manifest_cache = None
+        cur = int(self.base.manifest["version"])
+        K = 2**self.n_bits
+        vecs = self.table.read().select(self.vec_key, self.emb_col).persist()
+        try:
+            cents = np.zeros((K, self.dim), dtype=np.float64)
+            for r in self.centroids.read().select("cell", "centroid").collect():
+                if r.centroid is not None:
+                    cents[int(r.cell)] = np.asarray(r.centroid, dtype=np.float64)
+            for _ in range(max(1, int(iters))):
+                rows = (
+                    vecs.withColumn(
+                        "_nc", nearest_cell_expr(self.emb_col, cents)
+                    )
+                    .groupBy("_nc")
+                    .agg(
+                        *[
+                            F.avg(F.col(self.emb_col)[d]).alias(f"m{d}")
+                            for d in range(self.dim)
+                        ]
+                    )
+                    .collect()  # ≤ 2^n_bits rows — bounded
+                )
+                new = cents.copy()
+                for r in rows:
+                    new[int(r["_nc"])] = [
+                        float(r[f"m{d}"] or 0.0) for d in range(self.dim)
+                    ]
+                cents = new
+
+            gen = self.quantizer_gen + 1
+            batch_id = f"ann-refine-g{gen}-v{cur}"
+            with open(self._meta_path) as fh:
+                meta = _json.load(fh)
+            meta.update(
+                {
+                    "refined_centroids": cents.tolist(),
+                    "quantizer_gen": gen,
+                    "refine_batch_id": batch_id,
+                    "refine_base_version": cur,
+                }
+            )
+            tmp = self._meta_path + f".tmp-{_uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as fh:
+                _json.dump(meta, fh)
+            os.replace(tmp, self._meta_path)
+            self.refined_centroids = cents
+            self.quantizer_gen = gen
+            self._refine_batch_id = batch_id
+            self._refine_base_version = cur
+            moved = self._apply_reassignment(batch_id, cur)
+        finally:
+            vecs.unpersist()
+        return {
+            "refined": True,
+            "generation": gen,
+            "batch_id": batch_id,
+            "base_version": cur,
+            "slots_changed": moved,
+        }
+
+    def _apply_reassignment(self, batch_id: str, cur: int) -> int:
+        """Rewrite every assignment slot under the current quantizer in
+        one fenced commit: upsert each vector's (possibly new) cell,
+        tombstone the vacated slots. LSNs land at 4·cur+2 (tombstones)
+        and 4·cur+3 (upserts) — strictly above the last refresh's
+        4·cur+1 so the merge's LWW guard never drops them, and strictly
+        below the next refresh's 4·(cur+1). end_lsn stays ``cur``: the
+        base-feed fence is untouched. Idempotent: a committed batch_id
+        short-circuits."""
+        if batch_id in self.table.committed_batches():
+            self.centroids.refresh()
+            return 0
+        vk, ec = self.vec_key, self.emb_col
+        state = self.table.read().select(
+            self._cell().alias("cell"), F.col(vk), F.col(ec)
+        )
+        gone = (
+            self.table.read()
+            .select("cell", vk)
+            .join(state.select("cell", vk), ["cell", vk], "leftanti")
+        )
+        emb_type = next(
+            f.dataType for f in self.table.schema.fields if f.name == ec
+        )
+        updates = (
+            state.select("cell", vk, ec, F.lit("U").alias("op"))
+            .withColumn("lsn", F.lit(4 * cur + 3).cast("long"))
+            .unionByName(
+                gone.select(
+                    "cell",
+                    vk,
+                    F.lit(None).cast(emb_type).alias(ec),
+                    F.lit("D").alias("op"),
+                ).withColumn("lsn", F.lit(4 * cur + 2).cast("long"))
+            )
+            .withColumn("ts", F.lit(None).cast("timestamp"))
+        )
+        result = self.table.merge(
+            updates, batch_id=batch_id, start_lsn=cur, end_lsn=cur
+        )
+        self.centroids.refresh()
+        return result.inserts + result.updates + result.deletes
 
     # ------------------------------------------------------------------ #
     def search_many(

@@ -126,6 +126,14 @@ def merge_into(
     from gene_etl_spark.lake.table import LSN_COL
 
     t0 = time.time()
+    # plan against the CURRENT manifest, not this handle's cache: a
+    # long-lived handle (a stream across epochs) must see maintenance
+    # committed between its merges — compaction supersedes files our
+    # stale plan would re-derive, and a rebucket flips the bucketing the
+    # merge derives. Sequential interleavings thus self-propagate;
+    # commit_with_rebase still refuses the truly-concurrent races
+    # (mid-merge rebucket / overlapping CoW rewrite).
+    table._manifest_cache = None
     manifest = table.manifest
     key_cols = table.key_cols
     num_buckets = table.num_buckets
@@ -359,6 +367,8 @@ def _merge_mor(
     from gene_etl_spark.lake.table import LSN_COL, OP_COL
 
     t0 = time.time()
+    # current manifest, not the handle's cache — see the CoW path's note
+    table._manifest_cache = None
     manifest = table.manifest
     key_cols = table.key_cols
     timings: dict[str, float] = {}

@@ -83,9 +83,13 @@ def decode_png(payload: bytes) -> dict:
         ).copy()
         if f == 0:  # None
             pass
-        elif f == 1:  # Sub
-            for i in range(bpp, stride):
-                cur[i] = (int(cur[i]) + int(cur[i - bpp])) & 0xFF
+        elif f == 1:  # Sub — vectorized: reconstruction is a per-lane
+            # (per-channel) prefix sum mod 256 over the pixel axis,
+            # since out[i] = Σ raw[j≤i, same lane] (mod 256)
+            lanes = cur.reshape(-1, bpp)
+            cur = (
+                np.cumsum(lanes, axis=0, dtype=np.int64) & 0xFF
+            ).astype(np.uint8).reshape(stride)
         elif f == 2:  # Up — vectorized (uint8 add wraps mod 256)
             cur += prev
         elif f == 3:  # Average
@@ -836,6 +840,46 @@ def decode_audio_media(
             )
 
     return df.mapInPandas(run, AUDIO_SCHEMA)
+
+
+def synth_wav_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL-WAV payload synthesis (round-5 verdict item
+    8, gating the audio operator): per doc an integer-arithmetic
+    waveform s_i = ((doc_id·131 + i·7919) mod 16384) − 8192 over
+    n = 1600 + (doc_id mod 7)·160 mono int16 samples at
+    sr = 8000 + (doc_id mod 3)·4000 Hz, encoded by the real
+    ``encode_wav``. Trig-free ON PURPOSE: every sample (hence the RMS)
+    is exactly reproducible in ANSI SQL with integer modular
+    arithmetic, so the decode operator's output is value-gated
+    cross-engine — a sine tone would hang the gate on the engines'
+    last-ulp libm differences."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for did in ids:
+                did = int(did)
+                n = 1600 + (did % 7) * 160
+                sr = 8000 + (did % 3) * 4000
+                i = np.arange(n, dtype=np.int64)
+                s = ((did * 131 + i * 7919) % 16384 - 8192).astype("<i2")
+                payloads.append(encode_wav(s, sr))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return df_map_payload(docs, run)
+
+
+def df_map_payload(docs: DataFrame, run) -> DataFrame:
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+    return docs.mapInPandas(run, schema)
 
 
 def with_fake_payload(docs: DataFrame) -> DataFrame:

@@ -171,11 +171,35 @@ SQL_MULTIMODAL_FRAMES = _sql_frames()
 
 
 def q_multimodal_audio(spark, sf_dir):
-    """Audio feature extraction over binary payloads (rows-only: the
-    synthetic md5 payloads ride the deterministic stub branch; the REAL
-    WAV branch is pinned by tests/test_wav_codec.py round-trips)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return decode_audio_media(with_fake_payload(docs))
+    """Audio feature extraction, ORACLE-GATED since round 6: payloads
+    are real WAV bytes (deterministic trig-free integer waveform per
+    doc, operators/multimodal.py synth_wav_payload), decoded by the
+    real stdlib codec; sample counts / rate / duration / RMS are
+    value-gated against a DuckDB twin that regenerates the identical
+    samples with modular arithmetic."""
+    from gene_etl_spark.operators.multimodal import synth_wav_payload
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return decode_audio_media(synth_wav_payload(docs))
+
+
+SQL_MULTIMODAL_AUDIO = """
+WITH g AS (  -- max n = 1600 + 6*160 = 2560 samples
+  SELECT i FROM generate_series(0, 2559) AS t(i)
+), s AS (
+  SELECT d.doc_id,
+         ((d.doc_id * 131 + g.i * 7919) % 16384 - 8192) AS samp,
+         (8000 + (d.doc_id % 3) * 4000) AS sr
+  FROM documents d JOIN g ON g.i < 1600 + (d.doc_id % 7) * 160
+)
+SELECT doc_id,
+       MAX(sr)::INT AS sample_rate,
+       1::INT AS n_channels,
+       COUNT(*)::BIGINT AS n_frames,
+       ROUND(COUNT(*)::DOUBLE / MAX(sr), 6) AS duration_sec,
+       ROUND(SQRT(AVG(POW(samp / 32768.0, 2))), 6) AS rms
+FROM s GROUP BY doc_id
+"""
 
 
 QUERIES = {
@@ -193,6 +217,7 @@ ORACLES = {
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "multimodal_resize": SQL_MULTIMODAL_RESIZE,
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,
+    "multimodal_audio": SQL_MULTIMODAL_AUDIO,
     # pairwise_corr_p / pairwise_corr_kendall: rows-only (p-values and
     # tau-b are not SQL-expressible at full precision)
 }

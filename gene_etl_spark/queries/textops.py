@@ -1207,11 +1207,18 @@ SQL_LANG_ID = _sql_lang_id()
 # quality scoring: length/punct/stopword ratios → bounded linear score
 # --------------------------------------------------------------------- #
 def q_text_quality(spark, sf_dir):
+    """Quality scoring + per-doc token counting in ONE gated entry
+    (round-6 merge: the former `token_stats` per-language rollup was a
+    groupBy over quantities this entry now value-gates PER DOC —
+    ws tokens as n_tokens, BPE-ish regex tokens as bpe_tokens — so the
+    merge strengthens the gate while freeing a 50-cap slot for
+    `multimodal_audio`)."""
     d = docs_norm(spark, sf_dir).withColumn("toks", tokens_col())
     n_tokens = F.size("toks").cast("long")
     n_chars = F.length("text").cast("long")
     punct = (F.length("text") - F.length(F.regexp_replace("text", r"[.!?,;:]", ""))).cast("long")
     stop_hits = F.size(F.filter("toks", lambda t: t.isin(STOPWORDS))).cast("long")
+    bpe = F.size(F.regexp_extract_all("norm", F.lit(BPE_ISH_PATTERN), 0)).cast("long")
     punct_ratio = F.round(punct / n_chars, 6)
     stop_ratio = F.round(stop_hits / n_tokens, 6)
     quality = F.round(
@@ -1219,8 +1226,10 @@ def q_text_quality(spark, sf_dir):
     )
     return d.select(
         "doc_id",
+        "lang",
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
+        bpe.alias("bpe_tokens"),
         punct.alias("n_punct"),
         punct_ratio.alias("punct_ratio"),
         stop_ratio.alias("stopword_ratio"),
@@ -1233,15 +1242,16 @@ SQL_TEXT_QUALITY = (
     + SQL_DOCS_NORM.strip()
     + f""",
 base AS (
-  SELECT doc_id,
+  SELECT doc_id, lang,
          length(text)::BIGINT AS n_chars,
          len(string_split(norm, ' '))::BIGINT AS n_tokens,
+         len(regexp_extract_all(norm, '{BPE_ISH_PATTERN}'))::BIGINT AS bpe_tokens,
          (length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')))::BIGINT AS n_punct,
          len(list_filter(string_split(norm, ' '),
              t -> t IN ({', '.join(f"'{w}'" for w in STOPWORDS)})))::BIGINT AS stop_hits
   FROM docs_norm
 )
-SELECT doc_id, n_chars, n_tokens, n_punct,
+SELECT doc_id, lang, n_chars, n_tokens, bpe_tokens, n_punct,
        ROUND(n_punct / n_chars::DOUBLE, 6) AS punct_ratio,
        ROUND(stop_hits / n_tokens::DOUBLE, 6) AS stopword_ratio,
        ROUND(LEAST(1.0, n_tokens * 0.002) * (1 - n_punct / n_chars::DOUBLE), 6) AS quality_score
@@ -1485,7 +1495,6 @@ QUERIES = {
     "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
     "lang_id": q_lang_id,
     "text_quality": q_text_quality,
-    "token_stats": q_token_stats,
 }
 
 ORACLES = {
@@ -1501,5 +1510,4 @@ ORACLES = {
     "ann_ivf_multiprobe": SQL_ANN_IVF_MULTIPROBE,
     "lang_id": SQL_LANG_ID,
     "text_quality": SQL_TEXT_QUALITY,
-    "token_stats": SQL_TOKEN_STATS,
 }
