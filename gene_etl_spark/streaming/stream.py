@@ -235,6 +235,23 @@ def ingest_stream(
             applied["events"] += n
             for r in rollups or []:
                 r.refresh()
+            # same metadata-retention policy as the batch runner
+            # (IngestConfig knobs are surface-agnostic): bounded live
+            # manifests + reclaimed files + compacted ledger across
+            # unbounded streaming ingest
+            ev = config.expire_every_n_batches
+            if ev and applied["epochs"] % ev == 0:
+                from gene_etl_spark.lake.maintenance import (
+                    expire_snapshots,
+                    vacuum,
+                )
+
+                expire_snapshots(table, keep_last=config.expire_keep_last)
+                vacuum(table, older_than_sec=config.vacuum_grace_sec)
+            if config.ledger_compact_min_loose is not None:
+                ledger.compact_if_needed(
+                    min_loose=config.ledger_compact_min_loose
+                )
         finally:
             cached.unpersist()
 

@@ -185,3 +185,42 @@ def test_ledger_compaction_o1_resume_and_crash_heal(tmp_path):
         entries = json.load(f)["entries"]
     ends = [e["end_lsn"] for e in entries]
     assert ends == sorted(ends)
+
+
+def test_retention_policy_on_streaming_surface(spark, workdir):
+    """The same IngestConfig retention knobs govern ingest_stream:
+    bounded live manifests + compacted ledger after a many-epoch
+    drain, state oracle-exact."""
+    from gene_etl_spark.streaming.stream import ingest_stream
+
+    generate_change_stream(
+        os.path.join(workdir, "events"), n_convs=20, max_turns=10,
+        n_events=1500, seed=13, n_tranches=15,
+    )
+    cfg = _cfg(
+        workdir,
+        expire_every_n_batches=3,
+        expire_keep_last=4,
+        vacuum_grace_sec=0.0,
+        ledger_compact_min_loose=4,
+    )
+    out = ingest_stream(
+        spark, cfg, os.path.join(workdir, "ckpt"), max_files_per_trigger=1
+    )
+    assert out["epochs"] == 15
+
+    live = _live_manifests(cfg.lake_path)
+    assert len(live) <= cfg.expire_keep_last + cfg.expire_every_n_batches + 1
+    ledger_files = [f for f in os.listdir(cfg.ledger_path) if f.endswith(".json")]
+    assert sum(1 for f in ledger_files if f.startswith("seg-")) >= 1
+    assert len(ledger_files) <= 10
+
+    from gene_etl_spark.lake.table import LakeTable
+
+    table = LakeTable.load(spark, cfg.lake_path)
+    assert_replay_equal(
+        table.read().toPandas(), materialize_expected(cfg.events_path)
+    )
+    # resume still reconciles over the compacted ledger
+    out2 = ingest_stream(spark, cfg, os.path.join(workdir, "ckpt2"))
+    assert out2["epochs"] == 0
