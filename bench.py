@@ -43,6 +43,8 @@ HEADLINE = [
     "ann_topk",
     "lang_id",
     "text_quality",
+    "asof_temporal",
+    "multimodal_audio",
 ]
 
 # CDC bench stream parameters (deterministic; generated once per /tmp)

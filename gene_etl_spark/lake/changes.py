@@ -182,16 +182,8 @@ def read_changes(
 
     def _load(v: int) -> dict | None:
         if v not in _cache:
-            p = table._manifest_path(v)
-            m = None
-            for path in (p, p.replace(".json", ".expired.json")):
-                if os.path.exists(path):
-                    import json
-
-                    with open(path) as f:
-                        m = table._inflate(json.load(f))
-                    break
-            _cache[v] = m
+            raw = table._read_raw_any(v)  # live, expired/ subdir, or legacy
+            _cache[v] = None if raw is None else table._inflate(raw)
         return _cache[v]
 
     out: DataFrame | None = None

@@ -474,8 +474,11 @@ def compact_if_needed(
 
 
 def expire_snapshots(table: LakeTable, keep_last: int = 10) -> dict:
-    """Mark old snapshots expired (manifests renamed to .expired.json so
-    fencing history is preserved but time travel to them is closed).
+    """Mark old snapshots expired (manifests MOVE to the
+    ``_manifests/expired/`` subdir, so fencing history is preserved but
+    time travel to them is closed — and the hot live-dir listing that
+    ``version``/fencing/vacuum anchor on stays bounded by the retention
+    policy instead of growing one name per commit forever).
 
     Tagged versions are retention-pinned: they stay live regardless of
     age, so their data files and pieces remain under vacuum's protection
@@ -496,12 +499,20 @@ def expire_snapshots(table: LakeTable, keep_last: int = 10) -> dict:
         for fn in os.listdir(mdir)
         if (m := re.fullmatch(r"v(\d+)\.json", fn))
     ]
+    edir = os.path.join(mdir, "expired")
     for v in live:
         if v > cutoff or v == current or v in pinned:
             continue
-        p = table._manifest_path(v)
-        os.rename(p, p.replace(".json", ".expired.json"))
+        os.makedirs(edir, exist_ok=True)
+        os.rename(
+            table._manifest_path(v), os.path.join(edir, f"v{v}.json")
+        )
         expired += 1
+    if expired:
+        # fence summary at the retention point: a FRESH process seeds
+        # its fencing walk from this file and opens only the manifests
+        # committed after it — O(live + tail) instead of O(commits)
+        table.write_fence_summary()
     return {
         "expired": expired,
         "kept_from": max(cutoff + 1, 0),

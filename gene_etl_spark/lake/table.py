@@ -48,6 +48,7 @@ from pyspark.sql import types as T
 from gene_etl_spark.functions import bucket_of
 
 MANIFEST_DIR = "_manifests"
+EXPIRED_SUBDIR = "expired"  # _manifests/expired/v{N}.json — see expire_snapshots
 PIECE_DIR = os.path.join(MANIFEST_DIR, "pieces")
 STAGED_DIR = os.path.join(MANIFEST_DIR, "staged")
 DATA_DIR = "data"
@@ -268,6 +269,30 @@ class LakeTable:
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self.path, MANIFEST_DIR, f"v{version}.json")
 
+    def _expired_manifest_path(self, version: int) -> str:
+        return os.path.join(
+            self.path, MANIFEST_DIR, EXPIRED_SUBDIR, f"v{version}.json"
+        )
+
+    def _read_raw_any(self, version: int) -> dict | None:
+        """Raw manifest of ``version`` whether live or expired (expired
+        manifests move to the ``expired/`` subdir so the HOT live-dir
+        listing — ``version``, fencing anchors, vacuum pin scans — stays
+        bounded by the retention policy instead of growing one entry per
+        commit forever; the legacy in-dir ``.expired.json`` spelling is
+        still read for pre-round-6 tables). None when vacuumed away."""
+        for path in (
+            self._manifest_path(version),
+            self._expired_manifest_path(version),
+            self._manifest_path(version).replace(".json", ".expired.json"),
+        ):
+            try:
+                with open(path) as f:
+                    return json.load(f)
+            except FileNotFoundError:
+                continue
+        return None
+
     def _read_manifest_raw(self, version: int) -> dict:
         with open(self._manifest_path(version)) as f:
             return json.load(f)
@@ -355,14 +380,9 @@ class LakeTable:
                     0 if base_version is None else base_version + 1,
                     latest["version"] + 1,
                 ):
-                    p = self._manifest_path(v)
-                    for path in (p, p.replace(".json", ".expired.json")):
-                        try:
-                            with open(path) as f:
-                                winners.append(self._inflate(json.load(f)))
-                            break
-                        except FileNotFoundError:
-                            continue
+                    raw = self._read_raw_any(v)
+                    if raw is not None:
+                        winners.append(self._inflate(raw))
                 if batch_id and any(
                     (m.get("properties") or {}).get("batch_id") == batch_id
                     for m in winners
@@ -615,13 +635,17 @@ class LakeTable:
         file maps may raise once vacuum reclaims its pieces, exactly as
         its vacuumed data files would."""
         d = os.path.join(self.path, MANIFEST_DIR)
-        entries = []
-        for f in os.listdir(d):
-            m = re.fullmatch(r"v(\d+)(?:\.expired)?\.json", f)
-            if m:
-                with open(os.path.join(d, f)) as fh:
-                    entries.append((int(m.group(1)), self._inflate(json.load(fh))))
-        return [e[1] for e in sorted(entries)]
+        seen: dict[int, dict] = {}
+        dirs = [d]
+        if os.path.isdir(os.path.join(d, EXPIRED_SUBDIR)):
+            dirs.append(os.path.join(d, EXPIRED_SUBDIR))
+        for dd in dirs:
+            for f in os.listdir(dd):
+                m = re.fullmatch(r"v(\d+)(?:\.expired)?\.json", f)
+                if m and int(m.group(1)) not in seen:
+                    with open(os.path.join(dd, f)) as fh:
+                        seen[int(m.group(1))] = self._inflate(json.load(fh))
+        return [seen[v] for v in sorted(seen)]
 
     def _fence_meta(self) -> tuple[dict[str, dict], list]:
         """(batch_id -> fence record, [end_lsn, ...]) over the snapshot
@@ -644,20 +668,24 @@ class LakeTable:
             batches: dict[str, dict] = {}
             ends: list = []
             start = 0
+            # cold start: seed from the newest fence summary ≤ cur
+            # (written at retention time) so a fresh process walks only
+            # the post-summary tail instead of opening every manifest
+            # ever committed — the last O(commits) scan in the engine.
+            # A stale or missing summary is only less efficient, never
+            # wrong: the (summary_version, cur] walk below covers it.
+            sv, seed = self._read_fence_summary(cur)
+            if seed is not None:
+                batches = dict(seed["batches"])
+                if seed.get("max_end_lsn") is not None:
+                    ends = [seed["max_end_lsn"]]
+                start = sv + 1
         else:
             batches = dict(cached[1])
             ends = list(cached[2])
             start = cached[0] + 1
         for v in range(start, cur + 1):
-            p = self._manifest_path(v)
-            raw = None
-            for path in (p, p.replace(".json", ".expired.json")):
-                try:
-                    with open(path) as f:
-                        raw = json.load(f)
-                    break
-                except FileNotFoundError:
-                    continue
+            raw = self._read_raw_any(v)
             if raw is None:
                 continue
             props = raw.get("properties") or {}
@@ -672,6 +700,68 @@ class LakeTable:
                 ends.append(props["end_lsn"])
         self._fence_cache = (cur, batches, ends)
         return batches, ends
+
+    def _fence_summary_path(self, version: int) -> str:
+        return os.path.join(
+            self.path, MANIFEST_DIR, f"fence-v{version}.json"
+        )
+
+    def _read_fence_summary(self, cur: int) -> tuple[int, dict | None]:
+        """Newest ``fence-v{N}.json`` with N ≤ cur, or (−1, None).
+        Summary files never match the ``v{N}.json`` manifest scans
+        (fullmatch), so they are invisible to ``version``/history/
+        vacuum-pinning; they are pure fencing-walk accelerators."""
+        d = os.path.join(self.path, MANIFEST_DIR)
+        best = -1
+        for fn in os.listdir(d):
+            m = re.fullmatch(r"fence-v(\d+)\.json", fn)
+            if m and best < int(m.group(1)) <= cur:
+                best = int(m.group(1))
+        if best < 0:
+            return -1, None
+        try:
+            with open(self._fence_summary_path(best)) as f:
+                return best, json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return -1, None
+
+    def write_fence_summary(self, keep: int = 2) -> dict:
+        """Materialize the fencing state at the current version into an
+        atomic ``fence-v{cur}.json`` (and prune summaries older than the
+        newest ``keep``). Called by ``expire_snapshots`` so retention
+        keeps the fresh-process fencing walk O(live + tail) at any
+        commit count. Idempotent; safe under the usual single-
+        maintainer discipline (a racing writer's newer commits simply
+        land after this summary's version and are walked normally)."""
+        cur = self.version
+        batches, ends = self._fence_meta()
+        payload = {
+            "version": cur,
+            "batches": batches,
+            "max_end_lsn": max(ends) if ends else None,
+        }
+        final = self._fence_summary_path(cur)
+        tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            pass  # same version summarized twice — identical content
+        finally:
+            os.unlink(tmp)
+        d = os.path.join(self.path, MANIFEST_DIR)
+        versions = sorted(
+            int(m.group(1))
+            for fn in os.listdir(d)
+            if (m := re.fullmatch(r"fence-v(\d+)\.json", fn))
+        )
+        for v in versions[:-keep] if keep > 0 else versions:
+            try:
+                os.unlink(self._fence_summary_path(v))
+            except FileNotFoundError:
+                pass
+        return {"version": cur, "batches": len(batches)}
 
     def committed_batches(self) -> dict[str, dict]:
         """batch_id -> {version, start_lsn, end_lsn} over the snapshot chain.

