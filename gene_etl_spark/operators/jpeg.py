@@ -390,7 +390,7 @@ class _BitReader:
                 self.bytepos = bp + len(chunk)
             else:
                 end_marker = self.segments[self.seg][1]
-                if end_marker is None and self._n == 0:
+                if end_marker is None:  # ran off the end, no marker
                     raise ValueError("truncated JPEG entropy stream")
                 # marker reached: spec pads with 1-bits to the marker
                 self.marker = end_marker
