@@ -94,6 +94,76 @@ def nearest_cell_expr(emb_col: str, centroids: np.ndarray) -> Column:
     return (-m["negc"]).cast("int")
 
 
+# Above this many inlined constants (K centroids × dim) the codegen'd
+# expression tree stops being the fast path: Janino blows past method
+# limits and Spark falls back to interpreted evaluation of a K·dim-term
+# tree per row. The Arrow path (one numpy matmul per batch) takes over.
+# The cut is a pure function of (K, dim), so a given index always
+# assigns through ONE path — the quantizer stays a single deterministic
+# function per table (the two paths may disagree only on exact score
+# ties, so mixing them per-call would break incremental exactness).
+NEAREST_CELL_CODEGEN_MAX_TERMS = 4096
+
+
+def nearest_cell_pandas(emb_col: str, centroids: np.ndarray) -> Column:
+    """Arrow-batched twin of :func:`nearest_cell_expr`: one numpy
+    ``(batch × dim) @ (dim × K)`` matmul + argmax per Arrow batch
+    instead of a K·dim-term codegen tree per row. Semantics match the
+    expression path exactly: unit-normalized centroids, zero-norm
+    centroid → -inf (never wins), NaN score → -inf, ties → lowest cell
+    id (numpy argmax keeps the first max), NULL / wrong-length / all
+    -inf rows → cell 0 (the expression path's struct-max over equal
+    scores picks the greatest ``-i`` = cell 0)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    norms = np.linalg.norm(cents, axis=1)
+    safe = np.where(norms > 0.0, norms, 1.0)
+    unit_t = (cents / safe[:, None]).T.copy()  # (dim, K), captured once
+    dead = norms <= 0.0
+    dim = cents.shape[1]
+
+    @pandas_udf("int")
+    def _assign(embs):
+        import pandas as pd
+
+        out = np.zeros(len(embs), dtype=np.int32)
+        ok = [
+            i
+            for i, e in enumerate(embs)
+            if e is not None and len(e) == dim
+        ]
+        if ok:
+            mat = np.empty((len(ok), dim), dtype=np.float64)
+            for j, i in enumerate(ok):
+                mat[j] = np.asarray(embs.iloc[i], dtype=np.float64)
+            scores = mat @ unit_t
+            # NaN -> -inf via masking, NOT np.nan_to_num: nan_to_num
+            # would also flatten the dead cells' genuine -inf to the
+            # largest-negative FINITE float, letting a dead centroid
+            # out-score an all-NaN row
+            scores[np.isnan(scores)] = -np.inf
+            if dead.any():
+                scores[:, dead] = -np.inf
+            out[ok] = np.argmax(scores, axis=1).astype(np.int32)
+        return pd.Series(out)
+
+    return _assign(F.col(emb_col))
+
+
+def nearest_cell(emb_col: str, centroids: np.ndarray) -> Column:
+    """Refined-quantizer assignment, sized to the quantizer: the inlined
+    expression tree under ``NEAREST_CELL_CODEGEN_MAX_TERMS`` constants
+    (whole-stage codegen, zero Python), the Arrow matmul path above it.
+    The choice depends only on (K, dim) — pinned sidecar parameters —
+    so every assignment for a given index goes through the same
+    deterministic function."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    if cents.size <= NEAREST_CELL_CODEGEN_MAX_TERMS:
+        return nearest_cell_expr(emb_col, cents)
+    return nearest_cell_pandas(emb_col, cents)
+
+
 class IvfVectorIndex:
     def __init__(
         self,
@@ -227,7 +297,7 @@ class IvfVectorIndex:
     # ------------------------------------------------------------------ #
     def _cell(self) -> Column:
         if self.refined_centroids is not None:
-            return nearest_cell_expr(self.emb_col, self.refined_centroids)
+            return nearest_cell(self.emb_col, self.refined_centroids)
         return srp_cell_expr(self.emb_col, self.dim, self.n_bits)
 
     def last_indexed_version(self) -> int:
@@ -403,7 +473,7 @@ class IvfVectorIndex:
             for _ in range(max(1, int(iters))):
                 rows = (
                     vecs.withColumn(
-                        "_nc", nearest_cell_expr(self.emb_col, cents)
+                        "_nc", nearest_cell(self.emb_col, cents)
                     )
                     .groupBy("_nc")
                     .agg(
