@@ -26,70 +26,51 @@ from pyspark.sql import types as T
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
-# color type → samples per pixel (PNG spec §11.2.2)
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+# color type → samples per pixel (PNG spec §11.2.2); palette (3) is
+# 1 index sample per pixel, expanded to RGB(A) after reconstruction
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec §8.2)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
 
-def decode_png(payload: bytes) -> dict:
-    """Real PNG decode using only the stdlib + numpy: chunk walk →
-    IHDR geometry → concatenated-IDAT zlib inflate → per-scanline
-    filter reconstruction (all five filters: None/Sub/Up/Average/
-    Paeth). Supports 8-bit greyscale, RGB, greyscale+alpha and RGBA,
-    non-interlaced — the shapes a training pipeline's thumbnails and
-    screenshots actually take; palette/16-bit/interlaced raise
-    ``NotImplementedError`` rather than decoding garbage.
-
-    Returns ``{"width", "height", "channels",
-    "pixels": np.ndarray(height, width, channels) uint8}``.
-    """
-    if payload[: len(PNG_MAGIC)] != PNG_MAGIC:
-        raise ValueError("not a PNG payload")
-    pos = len(PNG_MAGIC)
-    ihdr = None
-    idat = bytearray()
-    while pos + 8 <= len(payload):
-        (length,) = struct.unpack(">I", payload[pos : pos + 4])
-        ctype = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + length]
-        pos += 12 + length  # 4 len + 4 type + data + 4 crc
-        if ctype == b"IHDR":
-            ihdr = data
-        elif ctype == b"IDAT":
-            idat += data
-        elif ctype == b"IEND":
-            break
-    if ihdr is None or not idat:
-        raise ValueError("PNG missing IHDR/IDAT")
-    w, h, depth, color, _comp, _filt, interlace = struct.unpack(
-        ">IIBBBBB", ihdr
-    )
-    if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
-        raise NotImplementedError(
-            f"PNG depth={depth} color={color} interlace={interlace} unsupported"
-        )
-    channels = _PNG_CHANNELS[color]
-    stride = w * channels
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG IDAT length mismatch")
+def _png_defilter(raw: bytes, off: int, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reconstruct ``h`` scanlines of ``stride`` filtered bytes each
+    (1 filter byte + stride data bytes per line) starting at
+    ``raw[off]``. Filtering is byte-wise with pixel width ``bpp``
+    BYTES regardless of bit depth (PNG spec §9.2) — which is why the
+    same loop serves 1/2/4/8/16-bit images. Returns ``(h, stride)``
+    uint8."""
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
-    bpp = channels
     for y in range(h):
-        off = y * (stride + 1)
         f = raw[off]
         cur = np.frombuffer(
             raw, dtype=np.uint8, count=stride, offset=off + 1
         ).copy()
+        off += stride + 1
         if f == 0:  # None
             pass
         elif f == 1:  # Sub — vectorized: reconstruction is a per-lane
             # (per-channel) prefix sum mod 256 over the pixel axis,
             # since out[i] = Σ raw[j≤i, same lane] (mod 256)
-            lanes = cur.reshape(-1, bpp)
+            pad = (-stride) % bpp  # stride < bpp or non-multiple: pad lanes
+            lanes = np.concatenate(
+                [cur, np.zeros(pad, dtype=np.uint8)]
+            ).reshape(-1, bpp)
             cur = (
-                np.cumsum(lanes, axis=0, dtype=np.int64) & 0xFF
-            ).astype(np.uint8).reshape(stride)
+                (np.cumsum(lanes, axis=0, dtype=np.int64) & 0xFF)
+                .astype(np.uint8)
+                .reshape(-1)[:stride]
+            )
         elif f == 2:  # Up — vectorized (uint8 add wraps mod 256)
             cur += prev
         elif f == 3:  # Average
@@ -109,11 +90,126 @@ def decode_png(payload: bytes) -> dict:
             raise ValueError(f"PNG filter {f} invalid")
         out[y] = cur
         prev = out[y]
+    return out
+
+
+def _png_samples(rows: np.ndarray, w: int, spp: int, depth: int) -> np.ndarray:
+    """Expand defiltered scanline bytes ``(h, stride)`` to one uint8
+    SAMPLE per channel ``(h, w*spp)``: sub-byte depths unpack MSB-first
+    (spec §7.2), 16-bit keeps the high byte (the standard 8-bit
+    downsample), 8-bit is a reshape."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, : w * spp]
+    if depth == 16:
+        return rows[:, : w * spp * 2 : 2]  # big-endian: even bytes are high
+    bits = np.unpackbits(rows, axis=1)
+    samples = bits.reshape(h, -1, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (samples * weights).sum(axis=2).astype(np.uint8)[:, : w * spp]
+
+
+def decode_png(payload: bytes) -> dict:
+    """Real PNG decode using only the stdlib + numpy: chunk walk →
+    IHDR geometry → concatenated-IDAT zlib inflate → per-scanline
+    filter reconstruction (all five filters: None/Sub/Up/Average/
+    Paeth). Supports every PNG color type — greyscale (1/2/4/8/16-bit),
+    RGB, greyscale+alpha, RGBA (8/16-bit, 16-bit downsampled to the
+    high byte), and palette (1/2/4/8-bit PLTE, tRNS → RGBA) — both
+    sequential and Adam7-interlaced. Only spec-invalid combinations
+    raise.
+
+    Returns ``{"width", "height", "channels",
+    "pixels": np.ndarray(height, width, channels) uint8}``.
+    """
+    if payload[: len(PNG_MAGIC)] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = len(PNG_MAGIC)
+    ihdr = None
+    plte = None
+    trns = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # 4 len + 4 type + data + 4 crc
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"tRNS":
+            trns = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if color not in _PNG_CHANNELS or interlace not in (0, 1):
+        raise NotImplementedError(
+            f"PNG color={color} interlace={interlace} unsupported"
+        )
+    valid_depths = (
+        (1, 2, 4, 8, 16) if color == 0 else (1, 2, 4, 8) if color == 3 else (8, 16)
+    )
+    if depth not in valid_depths:
+        raise ValueError(f"PNG depth={depth} invalid for color={color}")
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    spp = _PNG_CHANNELS[color]  # samples per pixel pre-palette-expansion
+    bpp = max(1, spp * depth // 8)  # filter pixel width in whole bytes
+
+    def stride_of(width: int) -> int:
+        return (width * spp * depth + 7) // 8
+
+    raw = zlib.decompress(bytes(idat))
+    samples = np.zeros((h, w * spp), dtype=np.uint8)
+    if interlace == 0:
+        if len(raw) != h * (stride_of(w) + 1):
+            raise ValueError("PNG IDAT length mismatch")
+        samples = _png_samples(_png_defilter(raw, 0, h, stride_of(w), bpp), w, spp, depth)
+    else:  # Adam7: each pass is an independently-filtered sub-image
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = stride_of(pw)
+            rows = _png_defilter(raw, off, ph, stride, bpp)
+            off += ph * (stride + 1)
+            sub = _png_samples(rows, pw, spp, depth).reshape(ph, pw, spp)
+            samples.reshape(h, w, spp)[y0::dy, x0::dx] = sub
+        if off != len(raw):
+            raise ValueError("PNG IDAT length mismatch")
+    if color == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = samples.reshape(h, w)
+        if idx.max(initial=0) >= pal.shape[0]:
+            raise ValueError("PNG palette index out of range")
+        if trns is not None:
+            alpha = np.full(pal.shape[0], 255, dtype=np.uint8)
+            a = np.frombuffer(trns, dtype=np.uint8)
+            alpha[: len(a)] = a
+            pal = np.concatenate([pal, alpha[:, None]], axis=1)
+        pixels = pal[idx]
+        channels = pixels.shape[2]
+    else:
+        channels = spp
+        pixels = samples.reshape(h, w, spp)
+        if depth < 8:  # scale sub-byte greyscale to full 8-bit range
+            pixels = (
+                pixels.astype(np.uint16) * 255 // ((1 << depth) - 1)
+            ).astype(np.uint8)
     return {
         "width": int(w),
         "height": int(h),
-        "channels": channels,
-        "pixels": out.reshape(h, w, channels),
+        "channels": int(channels),
+        "pixels": pixels,
     }
 
 
@@ -126,19 +222,13 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
-    """Stdlib PNG encoder (the test/round-trip twin of ``decode_png``,
-    also usable as a thumbnail sink): 8-bit, non-interlaced;
-    ``filter_type`` applies that PNG filter to EVERY scanline so a
-    round-trip exercises each reconstruction path."""
-    px = np.asarray(pixels, dtype=np.uint8)
-    if px.ndim == 2:
-        px = px[:, :, None]
-    h, w, channels = px.shape
-    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
-    bpp = channels
-    flat = px.reshape(h, w * channels).astype(np.int32)
-    prev = np.zeros(w * channels, dtype=np.int32)
+def _png_filter_lines(flat: np.ndarray, bpp: int, filter_type: int) -> bytes:
+    """Apply ``filter_type`` to every scanline of a byte grid
+    ``(h, stride)`` (one independently-filtered image or Adam7 pass)
+    and return the serialized filter-byte-prefixed lines."""
+    h = flat.shape[0]
+    flat = flat.astype(np.int32)
+    prev = np.zeros(flat.shape[1], dtype=np.int32)
     lines = []
     for y in range(h):
         cur = flat[y]
@@ -167,13 +257,110 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
             raise ValueError(f"filter {filter_type} invalid")
         lines.append(bytes([filter_type]) + (enc & 0xFF).astype(np.uint8).tobytes())
         prev = cur
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
-    return (
-        PNG_MAGIC
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
-        + _png_chunk(b"IEND", b"")
-    )
+    return b"".join(lines)
+
+
+def _png_assemble(
+    ihdr: bytes, body: bytes, plte: bytes | None = None, trns: bytes | None = None
+) -> bytes:
+    parts = [PNG_MAGIC, _png_chunk(b"IHDR", ihdr)]
+    if plte is not None:
+        parts.append(_png_chunk(b"PLTE", plte))
+    if trns is not None:
+        parts.append(_png_chunk(b"tRNS", trns))
+    parts.append(_png_chunk(b"IDAT", zlib.compress(body)))
+    parts.append(_png_chunk(b"IEND", b""))
+    return b"".join(parts)
+
+
+def _interlaced_body(grid: np.ndarray, h: int, w: int, bpp: int, filter_type: int) -> bytes:
+    """Serialize a byte grid ``(h, w, bpp)`` as the 7 Adam7 passes,
+    each filtered independently."""
+    body = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = grid[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        body += _png_filter_lines(
+            sub.reshape(sub.shape[0], sub.shape[1] * bpp), bpp, filter_type
+        )
+    return bytes(body)
+
+
+def encode_png(
+    pixels: np.ndarray, filter_type: int = 0, interlace: bool = False
+) -> bytes:
+    """Stdlib PNG encoder (the test/round-trip twin of ``decode_png``,
+    also usable as a thumbnail sink): 8-bit, sequential or Adam7
+    (``interlace=True``); ``filter_type`` applies that PNG filter to
+    EVERY scanline so a round-trip exercises each reconstruction
+    path."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, channels = px.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    if interlace:
+        body = _interlaced_body(px, h, w, channels, filter_type)
+    else:
+        body = _png_filter_lines(px.reshape(h, w * channels), channels, filter_type)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, int(interlace))
+    return _png_assemble(ihdr, body)
+
+
+def encode_png16(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """16-bit PNG encoder twin (greyscale/RGB/grey+alpha/RGBA by
+    channel count, big-endian samples, sequential)."""
+    px = np.asarray(pixels, dtype=np.uint16)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, channels = px.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    grid = px.reshape(h, w * channels).astype(">u2").view(np.uint8)
+    body = _png_filter_lines(grid, channels * 2, filter_type)
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, color, 0, 0, 0)
+    return _png_assemble(ihdr, body)
+
+
+def encode_png_palette(
+    indices: np.ndarray,
+    palette: np.ndarray,
+    trns: bytes | None = None,
+    depth: int = 8,
+    interlace: bool = False,
+) -> bytes:
+    """Palette PNG encoder twin: ``indices`` (h, w) uint8 into
+    ``palette`` (n, 3) uint8; ``depth`` ∈ {1, 2, 4, 8} packs indices
+    MSB-first; optional ``trns`` alpha bytes."""
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    h, w = idx.shape
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(f"palette depth {depth} invalid")
+    if idx.max(initial=0) >= min(pal.shape[0], 1 << depth):
+        raise ValueError("palette index out of range for depth")
+
+    def pack_rows(rows: np.ndarray) -> np.ndarray:
+        if depth == 8:
+            return rows
+        ph, pw = rows.shape
+        bits = (
+            (rows[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1
+        ).astype(np.uint8).reshape(ph, pw * depth)
+        return np.packbits(bits, axis=1)
+
+    if interlace:
+        body = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = idx[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            body += _png_filter_lines(pack_rows(sub), 1, 0)
+        body = bytes(body)
+    else:
+        body = _png_filter_lines(pack_rows(idx), 1, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, int(interlace))
+    return _png_assemble(ihdr, body, plte=pal.tobytes(), trns=trns)
 
 DECODED_SCHEMA = T.StructType(
     [
@@ -425,9 +612,9 @@ def _gif_deinterlace(rows: np.ndarray) -> np.ndarray:
 def decode_gif(payload: bytes, max_frames: int | None = None) -> dict:
     """Real GIF decode using only the stdlib + numpy: header + logical
     screen descriptor, global/local color tables, graphic-control
-    extensions (transparency + disposal 0/1/2), LZW-decompressed frames
-    composited onto the canvas in order, interlaced or not. Disposal 3
-    (restore-to-previous) raises rather than compositing garbage.
+    extensions (transparency + all disposal methods 0/1/2/3, incl.
+    restore-to-previous), LZW-decompressed frames composited onto the
+    canvas in order, interlaced or not.
 
     Returns ``{"width", "height", "n_frames",
     "frames": [np.ndarray(height, width, 3) uint8, ...]}`` — one
@@ -509,7 +696,7 @@ def _decode_gif_body(payload: bytes, max_frames: int | None) -> dict:
 
         # dispose of the PREVIOUS frame's region before drawing this one
         if prev_rect is not None:
-            ptop, pleft, ph, pw, pdisp = prev_rect
+            ptop, pleft, ph, pw, pdisp, psaved = prev_rect
             if pdisp == 2:  # restore region to background
                 bg = (
                     gct[bg_idx]
@@ -517,10 +704,16 @@ def _decode_gif_body(payload: bytes, max_frames: int | None) -> dict:
                     else np.zeros(3, np.uint8)
                 )
                 canvas[ptop : ptop + ph, pleft : pleft + pw] = bg
-            elif pdisp == 3:
-                raise NotImplementedError(
-                    "GIF disposal 3 (restore to previous) not supported"
-                )
+            elif pdisp == 3:  # restore to previous: put back the pixels
+                # that were under the frame's rect before it drew
+                canvas[ptop : ptop + ph, pleft : pleft + pw] = psaved
+
+        # disposal 3 needs the pre-draw canvas under THIS frame's rect
+        saved = (
+            canvas[top : top + h, left : left + w].copy()
+            if disposal == 3
+            else None
+        )
 
         idx = np.array(
             _gif_lzw_decode(min_code_size, b"".join(chunks), w * h), np.int64
@@ -537,7 +730,7 @@ def _decode_gif_body(payload: bytes, max_frames: int | None) -> dict:
         frames.append(canvas.copy())
         if max_frames is not None and len(frames) >= max_frames:
             break
-        prev_rect = (top, left, h, w, disposal)
+        prev_rect = (top, left, h, w, disposal, saved)
         transparent_idx = None
         disposal = 0
 
@@ -592,13 +785,14 @@ def encode_gif(
     palette: np.ndarray,
     transparent_idx: int | None = None,
     interlace: bool = False,
-    disposal: int = 1,
+    disposal: int | list | tuple = 1,
     bg_idx: int = 0,
 ) -> bytes:
     """Round-trip twin of ``decode_gif``: full-canvas index frames +
     one global palette → GIF89a bytes (fixed-width LZW). Each frame
     after the first carries a graphic-control extension with
-    ``disposal`` and optional transparency."""
+    ``disposal`` (one int for all frames, or a per-frame sequence)
+    and optional transparency."""
     frames = [np.asarray(f, np.uint8) for f in frames]
     h, w = frames[0].shape
     n = len(palette)
@@ -618,8 +812,11 @@ def encode_gif(
     out += struct.pack("<BBB", 0x80 | size_field, bg_idx, 0)
     out += table.tobytes()
     for fi, frame in enumerate(frames):
+        disp = (
+            disposal[fi] if isinstance(disposal, (list, tuple)) else disposal
+        )
         if fi > 0 or transparent_idx is not None:
-            gpacked = (disposal & 0x07) << 2
+            gpacked = (disp & 0x07) << 2
             tidx = 0
             if transparent_idx is not None:
                 gpacked |= 0x01

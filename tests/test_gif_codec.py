@@ -65,6 +65,27 @@ def test_disposal_2_restores_background_between_frames():
         assert np.array_equal(f_dec, expect)
 
 
+def test_disposal_3_restores_previous_not_background():
+    # disposal=[1,3,3] with transparency: frame 2's transparent holes
+    # must show frame 0's pixels (frame 1 was restored away) — disposal
+    # 1 would show frame 1 through them, disposal 2 the background
+    palette, frames = _corpus()
+    d = decode_gif(
+        encode_gif(frames, palette, transparent_idx=3, disposal=[1, 3, 3])
+    )
+    f0, f1, f2 = frames
+    base0 = np.broadcast_to(palette[0], (13, 9, 3)).copy()
+    base0[f0 != 3] = palette[f0][f0 != 3]  # displayed frame 0
+    shown1 = base0.copy()
+    shown1[f1 != 3] = palette[f1][f1 != 3]
+    shown2 = base0.copy()  # frame 1 restored away before frame 2 draws
+    shown2[f2 != 3] = palette[f2][f2 != 3]
+    assert np.array_equal(d["frames"][0], base0)
+    assert np.array_equal(d["frames"][1], shown1)
+    assert np.array_equal(d["frames"][2], shown2)
+    assert not np.array_equal(shown2, shown1)
+
+
 def test_wide_palette_grows_code_width_and_spans_subblocks():
     # 64 colors -> 7-bit min codes; 48x37 frame -> >255 bytes of LZW data,
     # so the encoder must span multiple 255-byte sub-blocks
@@ -93,7 +114,7 @@ def test_lzw_kwkwk_corner():
     n_frames=st.integers(1, 4),
     interlace=st.booleans(),
     transparent=st.booleans(),
-    disposal=st.sampled_from([0, 1, 2]),
+    disposal=st.sampled_from([0, 1, 2, 3]),
 )
 def test_roundtrip_fuzz(seed, n_colors, w, h, n_frames, interlace, transparent, disposal):
     """Any encode parameter combination must decode back to the frames
@@ -112,26 +133,31 @@ def test_roundtrip_fuzz(seed, n_colors, w, h, n_frames, interlace, transparent, 
     d = decode_gif(payload)
     assert (d["width"], d["height"], d["n_frames"]) == (w, h, n_frames)
     bg = np.broadcast_to(palette[0], (h, w, 3))
-    canvas = bg.copy()
+    # `base` = canvas content a frame draws onto (after disposing the
+    # previous frame); disposal 0/1 keep the drawn result, 2 resets to
+    # background, 3 restores what was under the frame before it drew
+    base = bg.copy()
     for i, (f_idx, f_dec) in enumerate(zip(frames, d["frames"])):
-        if tidx is not None:
-            mask = f_idx != tidx
-            canvas[mask] = palette[f_idx][mask]
-        else:
-            canvas[:] = palette[f_idx]
-        assert np.array_equal(f_dec, canvas), f"frame {i}"
         # the encoder writes a GCE (carrying `disposal`) for every frame
         # except an opaque frame 0 — whose disposal therefore defaults 0
-        if disposal == 2 and (i > 0 or tidx is not None):
-            canvas = bg.copy()
+        disp = disposal if (i > 0 or tidx is not None) else 0
+        displayed = base.copy()
+        if tidx is not None:
+            mask = f_idx != tidx
+            displayed[mask] = palette[f_idx][mask]
+        else:
+            displayed[:] = palette[f_idx]
+        assert np.array_equal(f_dec, displayed), f"frame {i}"
+        if disp == 2:
+            base = bg.copy()
+        elif disp != 3:  # 0/1 leave the drawn frame in place
+            base = displayed
 
 
 def test_malformed_and_unsupported_raise():
     palette, frames = _corpus()
     with pytest.raises(ValueError, match="not a GIF"):
         decode_gif(b"\x00" * 32)
-    with pytest.raises(NotImplementedError, match="disposal 3"):
-        decode_gif(encode_gif(frames, palette, disposal=3))
     payload = encode_gif(frames[:1], palette)
     with pytest.raises(ValueError, match="ended early|truncated"):
         decode_gif(payload[:-20] + b"\x00\x3b")

@@ -15,6 +15,8 @@ from gene_etl_spark.operators.multimodal import (
     decode_media,
     decode_png,
     encode_png,
+    encode_png16,
+    encode_png_palette,
     resize_media,
     resize_pixels,
 )
@@ -46,24 +48,121 @@ def test_known_pixels_decode_exactly():
     assert feats["mean_byte"] == pytest.approx(px.mean())
 
 
-def test_unsupported_and_malformed_raise():
-    with pytest.raises(ValueError, match="not a PNG"):
-        decode_png(b"\x00" * 32)
+def _hand_png(w, h, depth, color, interlace, idat_raw, plte=None):
     import struct
     import zlib
 
     from gene_etl_spark.operators.multimodal import _png_chunk
 
-    # 16-bit depth must refuse, not decode garbage
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
-    bad = (
-        PNG_MAGIC
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 26))
-        + _png_chunk(b"IEND", b"")
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    parts = [PNG_MAGIC, _png_chunk(b"IHDR", ihdr)]
+    if plte is not None:
+        parts.append(_png_chunk(b"PLTE", plte))
+    parts.append(_png_chunk(b"IDAT", zlib.compress(idat_raw)))
+    parts.append(_png_chunk(b"IEND", b""))
+    return b"".join(parts)
+
+
+def test_unsupported_and_malformed_raise():
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"\x00" * 32)
+    # spec-invalid depth for RGB must refuse, not decode garbage
+    with pytest.raises(ValueError, match="depth=4 invalid"):
+        decode_png(_hand_png(2, 2, 4, 2, 0, b"\x00" * 8))
+    # palette image without a PLTE chunk
+    with pytest.raises(ValueError, match="missing PLTE"):
+        decode_png(_hand_png(2, 2, 8, 3, 0, b"\x00" * 6))
+    # unknown color type
+    with pytest.raises(NotImplementedError, match="color=7"):
+        decode_png(_hand_png(2, 2, 8, 7, 0, b"\x00" * 6))
+    # palette index past the palette
+    with pytest.raises(ValueError, match="index out of range"):
+        decode_png(
+            _hand_png(1, 1, 8, 3, 0, b"\x00\x05", plte=b"\x01\x02\x03")
+        )
+
+
+def test_16bit_decodes_to_high_byte():
+    rng = np.random.default_rng(23)
+    for channels in (1, 3, 4):
+        for ft in (0, 1, 4):
+            px16 = rng.integers(0, 1 << 16, (9, 14, channels)).astype(np.uint16)
+            d = decode_png(encode_png16(px16, filter_type=ft))
+            assert (d["width"], d["height"], d["channels"]) == (14, 9, channels)
+            assert (d["pixels"] == (px16 >> 8).astype(np.uint8)).all()
+
+
+def test_palette_roundtrip_all_depths_and_trns():
+    rng = np.random.default_rng(31)
+    for depth in (1, 2, 4, 8):
+        n = 1 << depth
+        pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+        idx = rng.integers(0, n, (11, 19), dtype=np.uint8)
+        d = decode_png(encode_png_palette(idx, pal, depth=depth))
+        assert (d["width"], d["height"], d["channels"]) == (19, 11, 3)
+        assert (d["pixels"] == pal[idx]).all(), f"depth={depth}"
+    # tRNS shorter than the palette: listed entries get their alpha,
+    # the rest are opaque — output becomes RGBA
+    pal = rng.integers(0, 256, (5, 3), dtype=np.uint8)
+    idx = rng.integers(0, 5, (6, 7), dtype=np.uint8)
+    d = decode_png(encode_png_palette(idx, pal, trns=bytes([0, 128])))
+    assert d["channels"] == 4
+    expect_a = np.array([0, 128, 255, 255, 255], dtype=np.uint8)[idx]
+    assert (d["pixels"][:, :, :3] == pal[idx]).all()
+    assert (d["pixels"][:, :, 3] == expect_a).all()
+
+
+def test_adam7_interlace_roundtrip():
+    rng = np.random.default_rng(41)
+    # sizes straddling the 8x8 Adam7 grid, incl. dims < 8 (empty passes)
+    for h, w in ((3, 5), (8, 8), (13, 17), (1, 40), (40, 1)):
+        for channels in (1, 2, 3, 4):
+            px = rng.integers(0, 256, (h, w, channels), dtype=np.uint8)
+            for ft in (0, 2, 4):
+                d = decode_png(encode_png(px, filter_type=ft, interlace=True))
+                assert (d["pixels"] == px).all(), f"{h}x{w}x{channels} ft={ft}"
+    # interlaced palette at sub-byte depth
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (13, 11), dtype=np.uint8)
+    d = decode_png(encode_png_palette(idx, pal, depth=4, interlace=True))
+    assert (d["pixels"] == pal[idx]).all()
+
+
+def test_adam7_table_matches_spec_grid():
+    # the canonical pass-number matrix from PNG spec §8.2 — a
+    # self-consistent-but-wrong table would still round-trip, so pin
+    # the spec grid itself
+    from gene_etl_spark.operators.multimodal import _ADAM7
+
+    spec = np.array(
+        [
+            [1, 6, 4, 6, 2, 6, 4, 6],
+            [7, 7, 7, 7, 7, 7, 7, 7],
+            [5, 6, 5, 6, 5, 6, 5, 6],
+            [7, 7, 7, 7, 7, 7, 7, 7],
+            [3, 6, 4, 6, 3, 6, 4, 6],
+            [7, 7, 7, 7, 7, 7, 7, 7],
+            [5, 6, 5, 6, 5, 6, 5, 6],
+            [7, 7, 7, 7, 7, 7, 7, 7],
+        ]
     )
-    with pytest.raises(NotImplementedError, match="depth=16"):
-        decode_png(bad)
+    got = np.zeros((8, 8), dtype=int)
+    for p, (x0, y0, dx, dy) in enumerate(_ADAM7, start=1):
+        got[y0::dy, x0::dx] = p
+    assert (got == spec).all()
+
+
+def test_sub_byte_greyscale_scales_to_full_range():
+    # hand-built 1-bit greyscale 10x2: alternating bits; row stride is
+    # ceil(10/8)=2 bytes, filter byte 0 per scanline
+    row0 = bytes([0b10101010, 0b10000000])
+    row1 = bytes([0b01010101, 0b01000000])
+    raw = b"\x00" + row0 + b"\x00" + row1
+    d = decode_png(_hand_png(10, 2, 1, 0, 0, raw))
+    assert (d["width"], d["height"], d["channels"]) == (10, 2, 1)
+    expect0 = np.array([255, 0] * 5, dtype=np.uint8)
+    assert (d["pixels"][0, :, 0] == expect0).all()
+    assert (d["pixels"][1, :, 0] == 255 - expect0).all()
 
 
 def test_resize_pixels_nearest_neighbor():
