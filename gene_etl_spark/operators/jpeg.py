@@ -5,7 +5,8 @@ format web corpora actually carry (reference has no multimodal at all;
 the builder brief asks for image/audio/video as first-class columns —
 PNG/WAV/GIF landed earlier in round 5, this adds JFIF JPEG).
 
-Scope — baseline sequential DCT (SOF0/SOF1), 8-bit precision:
+Scope — baseline sequential DCT (SOF0/SOF1) AND progressive (SOF2),
+8-bit precision:
 
 - ``decode_jpeg``: marker walk (DQT/DHT/SOF/DRI/SOS), canonical Huffman
   entropy decode with byte-unstuffing and restart-marker handling,
@@ -13,11 +14,18 @@ Scope — baseline sequential DCT (SOF0/SOF1), 8-bit precision:
   planes assembled MCU-wise for any sampling factors in {1, 2} (4:4:4,
   4:2:2, 4:2:0), chroma upsampled by replication, YCbCr→RGB (JFIF
   full-range BT.601). Grayscale single-component streams decode to one
-  channel. Progressive (SOF2), arithmetic coding, 12-bit precision and
-  16-bit quant tables raise ``NotImplementedError`` rather than
-  decoding garbage; truncated streams raise ``ValueError``.
+  channel. Progressive streams (T.81 Annex G) accumulate coefficients
+  across scans — spectral selection, successive approximation, DC/AC
+  first + refinement scans, EOB runs — then IDCT once at the end.
+  Arithmetic coding, hierarchical frames, 12-bit precision and 16-bit
+  quant tables raise ``NotImplementedError`` rather than decoding
+  garbage; truncated streams raise ``ValueError``.
 - ``encode_jpeg``: the inverse pipeline with the Annex K quantization
   and Huffman tables (libjpeg-style quality scaling), 4:4:4 or 4:2:0.
+- ``encode_jpeg_progressive``: SOF2 twin with a fixed scan script
+  (interleaved DC first, per-component spectral-band AC first scans,
+  DC + AC refinement) producing the same quantized coefficients as
+  ``encode_jpeg`` — the progressive decoder's round-trip oracle.
 
 The encoder/decoder pair is validated by round-trip PSNR (lossy codec:
 bit-exactness is wrong to assert) plus hand-pinned structural checks of
@@ -214,17 +222,10 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
 
 
-def encode_jpeg(
-    pixels: np.ndarray,
-    quality: int = 85,
-    subsample: bool = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """Baseline JFIF encode of ``(h, w)`` grayscale or ``(h, w, 3)`` RGB
-    uint8 pixels; ``subsample=True`` emits 4:2:0 chroma (the common web
-    shape — exercises the decoder's upsampling path), else 4:4:4.
-    ``restart_interval`` emits DRI + RSTn markers every N MCUs (decoder
-    restart handling's round-trip pin)."""
+def _prep_planes(pixels, subsample: bool):
+    """Shared encoder front half: RGB→YCbCr (or grayscale passthrough),
+    optional 4:2:0 chroma downsample, MCU-grid edge padding. Returns
+    ``(gray, h, w, sampling, padded_planes, mcux, mcuy)``."""
     px = np.asarray(pixels)
     if px.ndim == 2:
         px = px[:, :, None]
@@ -234,7 +235,6 @@ def encode_jpeg(
     if h < 1 or w < 1:
         raise ValueError("empty image")
     gray = px.shape[2] == 1
-    qluma, qchroma = _quality_tables(quality)
 
     if gray:
         planes = [px[:, :, 0].astype(np.float64)]
@@ -269,6 +269,22 @@ def encode_jpeg(
             p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"
         )
         padded.append(pp)
+    return gray, h, w, sampling, padded, mcux, mcuy
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JFIF encode of ``(h, w)`` grayscale or ``(h, w, 3)`` RGB
+    uint8 pixels; ``subsample=True`` emits 4:2:0 chroma (the common web
+    shape — exercises the decoder's upsampling path), else 4:4:4.
+    ``restart_interval`` emits DRI + RSTn markers every N MCUs (decoder
+    restart handling's round-trip pin)."""
+    gray, h, w, sampling, padded, mcux, mcuy = _prep_planes(pixels, subsample)
+    qluma, qchroma = _quality_tables(quality)
 
     dc_l = _canonical_codes(*DC_LUMA)
     ac_l = _canonical_codes(*AC_LUMA)
@@ -276,7 +292,7 @@ def encode_jpeg(
     ac_c = _canonical_codes(*AC_CHROMA)
 
     bw = _BitWriter()
-    preds = [0] * len(planes)
+    preds = [0] * len(padded)
     mcu_index = 0
     rst = 0
     for my in range(mcuy):
@@ -285,7 +301,7 @@ def encode_jpeg(
                 bw.flush()
                 bw.out += bytes([0xFF, 0xD0 + rst % 8])
                 rst += 1
-                preds = [0] * len(planes)
+                preds = [0] * len(padded)
             mcu_index += 1
             for ci, (p, (hi, vi)) in enumerate(zip(padded, sampling)):
                 qtab = qluma if ci == 0 else qchroma
@@ -328,6 +344,251 @@ def encode_jpeg(
     out += _seg(0xDA, sos)
     out += bw.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------- progressive encoder
+
+# flat 9-bit AC table for progressive scans: every (run, size) symbol
+# with size ≤ 14 — unlike the baseline Annex K tables this includes the
+# EOBn symbols (size=0, run=n) progressive EOB runs need. 240 codes of
+# length 9 satisfy Kraft (240/512 < 1) and leave the all-ones code
+# unused (it would be indistinguishable from 1-bit padding).
+_PROG_AC_TABLE = (
+    [0, 0, 0, 0, 0, 0, 0, 0, 240, 0, 0, 0, 0, 0, 0, 0],
+    [(r << 4) | s for r in range(16) for s in range(15)],
+)
+
+
+def _emit_dc_first_scan(bw, blocks, codes_per_ci, al):
+    """``blocks``: (ci, cf) in scan order; Huffman-coded DC diffs of the
+    point-transformed values."""
+    preds: dict = {}
+    for ci, cf in blocks:
+        v = int(cf[0]) >> al  # arithmetic shift per G.1.2.1
+        diff = v - preds.get(ci, 0)
+        preds[ci] = v
+        size, bits = _magnitude(diff)
+        ln, code = codes_per_ci[ci][size]
+        bw.write(ln, code)
+        if size:
+            bw.write(size, bits)
+
+
+def _emit_ac_first_scan(bw, cf_list, ss, se, al, ac_codes):
+    eobrun = 0
+
+    def emit_eobrun():
+        nonlocal eobrun
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            ln, code = ac_codes[nbits << 4]
+            bw.write(ln, code)
+            if nbits:
+                bw.write(nbits, eobrun & ((1 << nbits) - 1))
+            eobrun = 0
+
+    for cf in cf_list:
+        r = 0
+        for k in range(ss, se + 1):
+            t = int(cf[k])
+            t = (t >> al) if t >= 0 else -((-t) >> al)
+            if t == 0:
+                r += 1
+                continue
+            emit_eobrun()
+            while r > 15:
+                ln, code = ac_codes[0xF0]
+                bw.write(ln, code)
+                r -= 16
+            size, bits = _magnitude(t)
+            ln, code = ac_codes[(r << 4) | size]
+            bw.write(ln, code)
+            bw.write(size, bits)
+            r = 0
+        if r:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                emit_eobrun()
+    emit_eobrun()
+
+
+def _emit_ac_refine_scan(bw, cf_list, ss, se, al, ac_codes):
+    """Mirror of ``_ac_refine_block``: newly-significant coefficients
+    (|coef|>>al == 1) emit (run, 1) + sign; already-nonzero ones buffer
+    a correction bit. TWO correction buffers, like libjpeg: the current
+    block's bits flush after each ZRL / significant symbol (the decoder
+    reads them in that symbol's skip loop), while completed EOB-run
+    blocks' bits accumulate in ``run_pending`` and flush with the EOB
+    symbol (the decoder reads them in the run's band tails)."""
+    eobrun = 0
+    run_pending: list = []
+    cur_pending: list = []
+
+    def emit_eobrun():
+        nonlocal eobrun, run_pending
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            ln, code = ac_codes[nbits << 4]
+            bw.write(ln, code)
+            if nbits:
+                bw.write(nbits, eobrun & ((1 << nbits) - 1))
+            eobrun = 0
+        for b in run_pending:
+            bw.write(1, b)
+        run_pending = []
+
+    def flush_cur():
+        nonlocal cur_pending
+        for b in cur_pending:
+            bw.write(1, b)
+        cur_pending = []
+
+    for cf in cf_list:
+        band = [int(cf[k]) for k in range(ss, se + 1)]
+        absv = [(-t if t < 0 else t) >> al for t in band]
+        eob = 0  # index AFTER the last newly-significant coefficient
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob = i + 1
+        r = 0
+        for i, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and i < eob:
+                emit_eobrun()
+                ln, code = ac_codes[0xF0]
+                bw.write(ln, code)
+                r -= 16
+                flush_cur()
+            if t > 1:  # history-nonzero: correction bit rides along
+                cur_pending.append(t & 1)
+                continue
+            emit_eobrun()
+            ln, code = ac_codes[(r << 4) | 1]
+            bw.write(ln, code)
+            bw.write(1, 1 if band[i] > 0 else 0)
+            flush_cur()
+            r = 0
+        if r > 0 or cur_pending:
+            eobrun += 1
+            run_pending += cur_pending
+            cur_pending = []
+            if eobrun == 0x7FFF or len(run_pending) > 900:
+                emit_eobrun()
+    emit_eobrun()
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray, quality: int = 85, subsample: bool = False
+) -> bytes:
+    """Progressive (SOF2) JFIF encode — ``decode_jpeg``'s round-trip
+    twin for the progressive path. Fixed scan script covering every
+    scan kind the decoder has: interleaved DC first at Al=1, per-
+    component AC first scans at Al=1 (luma split into two spectral
+    bands), then DC + AC refinement scans down to Al=0. Quantized
+    coefficients are identical to ``encode_jpeg``'s at the same
+    quality, so both decode to the same pixels."""
+    gray, h, w, sampling, padded, mcux, mcuy = _prep_planes(pixels, subsample)
+    qluma, qchroma = _quality_tables(quality)
+    ncomp = 1 if gray else 3
+
+    # quantize every MCU-padded block up front (batched DCT)
+    coefs = []
+    for ci, (p, (hi, vi)) in enumerate(zip(padded, sampling)):
+        qt = qluma if ci == 0 else qchroma
+        bh_, bw_ = p.shape[0] // 8, p.shape[1] // 8
+        blocks = (
+            (p - 128.0)
+            .reshape(bh_, 8, bw_, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+        )
+        dct = np.einsum("ij,njk,kl->nil", _C, blocks, _C.T)
+        q = np.round(dct / qt).astype(np.int32).reshape(bh_, bw_, 64)
+        # natural → zigzag order per block
+        coefs.append(q[:, :, ZIGZAG].copy())
+
+    dc_codes = [_canonical_codes(*(DC_LUMA if ci == 0 else DC_CHROMA)) for ci in range(ncomp)]
+    ac_codes = _canonical_codes(*_PROG_AC_TABLE)
+
+    def comp_blocks(ci):
+        """Raster block order over the component's own (unpadded)
+        grid — the non-interleaved scan geometry."""
+        hi, vi = sampling[ci]
+        hmax = max(s[0] for s in sampling)
+        vmax = max(s[1] for s in sampling)
+        cw, ch = -(-w * hi // hmax), -(-h * vi // vmax)
+        bwc, bhc = -(-cw // 8), -(-ch // 8)
+        return [coefs[ci][by, bx] for by in range(bhc) for bx in range(bwc)]
+
+    def mcu_blocks():
+        out = []
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (hi, vi) in enumerate(sampling):
+                    for by in range(vi):
+                        for bx in range(hi):
+                            out.append((ci, coefs[ci][my * vi + by, mx * hi + bx]))
+        return out
+
+    def sos(comp_ids, ss, se, ah, al):
+        hdr = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            td = 0 if ci == 0 else 1
+            hdr += bytes([ci + 1, (td << 4) | 0])  # AC table 0 for all
+        hdr += bytes([ss, se, (ah << 4) | al])
+        return _seg(0xDA, hdr)
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0]) + bytes(qluma.flatten()[ZIGZAG].tolist()))
+    if not gray:
+        out += _seg(0xDB, bytes([1]) + bytes(qchroma.flatten()[ZIGZAG].tolist()))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        hi, vi = sampling[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
+    out += _seg(0xC2, sof)
+    out += _seg(0xC4, bytes([0x00]) + bytes(DC_LUMA[0]) + bytes(DC_LUMA[1]))
+    if not gray:
+        out += _seg(0xC4, bytes([0x01]) + bytes(DC_CHROMA[0]) + bytes(DC_CHROMA[1]))
+    out += _seg(
+        0xC4,
+        bytes([0x10]) + bytes(_PROG_AC_TABLE[0]) + bytes(_PROG_AC_TABLE[1]),
+    )
+
+    all_ids = list(range(ncomp))
+    luma_bands = [(1, 5), (6, 63)]
+    scans = [("dc_first", all_ids, 0, 0, 0, 1)]
+    for lo, hi_ in luma_bands:
+        scans.append(("ac_first", [0], lo, hi_, 0, 1))
+    for ci in range(1, ncomp):
+        scans.append(("ac_first", [ci], 1, 63, 0, 1))
+    scans.append(("dc_refine", all_ids, 0, 0, 1, 0))
+    for lo, hi_ in luma_bands:
+        scans.append(("ac_refine", [0], lo, hi_, 1, 0))
+    for ci in range(1, ncomp):
+        scans.append(("ac_refine", [ci], 1, 63, 1, 0))
+
+    for kind, ids, ss, se, ah, al in scans:
+        out += sos(ids, ss, se, ah, al)
+        bw = _BitWriter()
+        if kind == "dc_first":
+            blocks = mcu_blocks() if len(ids) > 1 else [(0, cf) for cf in comp_blocks(0)]
+            _emit_dc_first_scan(bw, blocks, dc_codes, al)
+        elif kind == "dc_refine":
+            blocks = mcu_blocks() if len(ids) > 1 else [(0, cf) for cf in comp_blocks(0)]
+            for _ci, cf in blocks:
+                bw.write(1, (int(cf[0]) >> al) & 1)
+        elif kind == "ac_first":
+            _emit_ac_first_scan(bw, comp_blocks(ids[0]), ss, se, al, ac_codes)
+        else:
+            _emit_ac_refine_scan(bw, comp_blocks(ids[0]), ss, se, al, ac_codes)
+        bw.flush()
+        out += bw.out
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -466,6 +727,188 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _entropy_end(data: bytes, pos: int) -> int:
+    """Position of the first real marker (not a stuffed 0x00, not an
+    RSTn) at or after ``pos`` — where the next header segment resumes
+    after a scan's entropy data."""
+    i = pos
+    n = len(data)
+    while True:
+        j = data.find(b"\xff", i)
+        if j < 0 or j + 1 >= n:
+            return n
+        nxt = data[j + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            i = j + 2
+            continue
+        return j
+
+
+# ------------------------------------------------- progressive scans
+# T.81 Annex G: coefficients accumulate across scans — DC and AC bands
+# arrive separately (spectral selection) and bit-plane by bit-plane
+# (successive approximation); first scans (Ah=0) Huffman-code
+# magnitudes at precision Al, refinement scans (Ah>0) send one
+# correction bit per already-nonzero coefficient plus newly-significant
+# ±1<<Al insertions.
+
+
+def _dc_block_prog(br: _BitReader, cf, pred: int, lut, ah: int, al: int) -> int:
+    if ah == 0:  # first scan: Huffman-coded diff at precision Al
+        size = _read_symbol(br, lut)
+        diff = _extend(br.receive(size), size) if size else 0
+        pred += diff
+        cf[0] = pred << al
+    else:  # refinement: one raw bit
+        if br.bit():
+            cf[0] = int(cf[0]) | (1 << al)
+    return pred
+
+
+def _ac_first_block(br: _BitReader, cf, ss: int, se: int, al: int, lut, eobrun: int) -> int:
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _read_symbol(br, lut)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1  # EOBn: run includes this block
+            if r:
+                eobrun += br.receive(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        cf[k] = _extend(br.receive(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(br: _BitReader, cf, ss: int, se: int, al: int, lut, eobrun: int) -> int:
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _read_symbol(br, lut)
+            r, s = rs >> 4, rs & 15
+            newval = 0
+            if s:
+                if s != 1:
+                    raise ValueError("invalid AC refinement magnitude")
+                newval = p1 if br.bit() else m1
+            elif r < 15:
+                eobrun = 1 << r  # EOBn; current block's tail handled below
+                if r:
+                    eobrun += br.receive(r)
+                break
+            # advance past r zero-history coefficients (16 for ZRL),
+            # reading a correction bit at every nonzero-history one
+            while k <= se:
+                if cf[k]:
+                    if br.bit() and (int(cf[k]) & p1) == 0:
+                        cf[k] = int(cf[k]) + (p1 if cf[k] > 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                cf[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # correction bits for the rest of the band
+            if cf[k]:
+                if br.bit() and (int(cf[k]) & p1) == 0:
+                    cf[k] = int(cf[k]) + (p1 if cf[k] > 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _progressive_scan(
+    br: _BitReader, frame: dict, scan: list, coefs: dict, huff: dict,
+    ri: int, ss: int, se: int, ah: int, al: int,
+) -> None:
+    """Decode one progressive scan's entropy data into the per-
+    component coefficient accumulators (zigzag order, int32)."""
+    comps = frame["comps"]
+    by_id = {c["id"]: c for c in comps}
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    order = [by_id[s["cs"]] for s in scan]
+    if ss == 0:  # DC scan (interleaved when ns > 1)
+        if se != 0:
+            raise ValueError("DC scan with nonzero Se")
+        luts = []
+        for s in scan:
+            lut = huff.get((0, s["dc"])) if ah == 0 else None
+            if ah == 0 and lut is None:
+                raise ValueError("JPEG scan references missing table")
+            luts.append(lut)
+        preds = [0] * len(scan)
+        cnt = 0
+        if len(scan) == 1:  # single-component: raster over its blocks
+            c = order[0]
+            cw, ch = -(-w * c["h"] // hmax), -(-h * c["v"] // vmax)
+            bw_, bh_ = -(-cw // 8), -(-ch // 8)
+            cf3 = coefs[c["id"]]
+            for byy in range(bh_):
+                for bxx in range(bw_):
+                    if ri and cnt and cnt % ri == 0:
+                        br.restart()
+                        preds = [0]
+                    cnt += 1
+                    preds[0] = _dc_block_prog(
+                        br, cf3[byy, bxx], preds[0], luts[0], ah, al
+                    )
+        else:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if ri and cnt and cnt % ri == 0:
+                        br.restart()
+                        preds = [0] * len(scan)
+                    cnt += 1
+                    for ci, c in enumerate(order):
+                        cf3 = coefs[c["id"]]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                preds[ci] = _dc_block_prog(
+                                    br,
+                                    cf3[my * c["v"] + by, mx * c["h"] + bx],
+                                    preds[ci], luts[ci], ah, al,
+                                )
+    else:  # AC scan: spec requires exactly one component
+        if len(scan) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        c = order[0]
+        lut = huff.get((1, scan[0]["ac"]))
+        if lut is None:
+            raise ValueError("JPEG scan references missing table")
+        cw, ch = -(-w * c["h"] // hmax), -(-h * c["v"] // vmax)
+        bw_, bh_ = -(-cw // 8), -(-ch // 8)
+        cf3 = coefs[c["id"]]
+        eobrun = 0
+        cnt = 0
+        for byy in range(bh_):
+            for bxx in range(bw_):
+                if ri and cnt and cnt % ri == 0:
+                    br.restart()
+                    eobrun = 0
+                cnt += 1
+                cf = cf3[byy, bxx]
+                if ah == 0:
+                    eobrun = _ac_first_block(br, cf, ss, se, al, lut, eobrun)
+                else:
+                    eobrun = _ac_refine_block(br, cf, ss, se, al, lut, eobrun)
+
+
 def decode_jpeg(payload: bytes) -> dict:
     """Decode baseline JPEG bytes; returns ``{"width", "height",
     "channels", "pixels": np.ndarray(h, w, channels) uint8}`` (channels
@@ -479,6 +922,7 @@ def decode_jpeg(payload: bytes) -> dict:
     frame = None
     restart_interval = 0
     scan = None
+    coefs: dict | None = None  # progressive coefficient accumulators
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
@@ -513,7 +957,7 @@ def decode_jpeg(payload: bytes) -> dict:
                     raise ValueError("truncated DHT")
                 huff[(cls, tid)] = _decode_tree(bits, vals)
                 sp += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision supported")
@@ -525,23 +969,54 @@ def decode_jpeg(payload: bytes) -> dict:
                 )
             if any(c["h"] not in (1, 2) or c["v"] not in (1, 2) for c in comps):
                 raise NotImplementedError("sampling factors beyond 2 unsupported")
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG unsupported")
+            frame = {"h": h, "w": w, "comps": comps, "prog": marker == 0xC2}
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("non-baseline JPEG frame unsupported")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
-            scan = []
+            scomps = []
             for i in range(ns):
                 cs, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
-                scan.append({"cs": cs, "dc": tabs >> 4, "ac": tabs & 0x0F})
-            pos = pos + 2 + seglen
-            break
+                scomps.append({"cs": cs, "dc": tabs >> 4, "ac": tabs & 0x0F})
+            ids = {c["id"] for c in frame["comps"]}
+            if any(s["cs"] not in ids for s in scomps):
+                raise ValueError("JPEG scan references a component missing from SOF")
+            if not frame["prog"]:
+                scan = scomps
+                pos = pos + 2 + seglen
+                break
+            # progressive: decode this scan now, then resume the marker
+            # walk (DHT/DRI may redefine tables between scans)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            a = seg[3 + 2 * ns]
+            if coefs is None:
+                hmax = max(c["h"] for c in frame["comps"])
+                vmax = max(c["v"] for c in frame["comps"])
+                mcux = -(-frame["w"] // (8 * hmax))
+                mcuy = -(-frame["h"] // (8 * vmax))
+                coefs = {
+                    c["id"]: np.zeros(
+                        (mcuy * c["v"], mcux * c["h"], 64), np.int32
+                    )
+                    for c in frame["comps"]
+                }
+            br = _BitReader(data, pos + 2 + seglen)
+            _progressive_scan(
+                br, frame, scomps, coefs, huff, restart_interval,
+                ss, se, a >> 4, a & 0x0F,
+            )
+            pos = _entropy_end(data, pos + 2 + seglen)
+            continue
         # APPn / COM / anything else: skip
         pos = pos + 2 + seglen
+    if frame is not None and frame["prog"]:
+        if coefs is None:
+            raise ValueError("missing SOS in JPEG stream")
+        return _reconstruct(frame, coefs, qtabs)
     if frame is None or scan is None:
         raise ValueError("missing SOF/SOS in JPEG stream")
 
@@ -602,6 +1077,13 @@ def decode_jpeg(payload: bytes) -> dict:
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
             mcu_count += 1
 
+    return _assemble(order, planes, h, w, hmax, vmax)
+
+
+def _assemble(order, planes, h, w, hmax, vmax) -> dict:
+    """Crop MCU-padded component planes, replicate-upsample subsampled
+    chroma, and convert to the output pixel dict (shared by the
+    baseline and progressive paths)."""
     out_planes = []
     for c, p in zip(order, planes):
         ch = -(-h * c["v"] // vmax)
@@ -622,3 +1104,31 @@ def decode_jpeg(payload: bytes) -> dict:
     b = y + 1.772 * (cb - 128.0)
     px = np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
     return {"width": w, "height": h, "channels": 3, "pixels": px}
+
+
+def _reconstruct(frame: dict, coefs: dict, qtabs: dict) -> dict:
+    """Progressive endgame: all scans applied, the coefficient
+    accumulators hold the final quantized values — dequantize, inverse
+    zigzag, and IDCT every block at once (batched einsum), then crop/
+    upsample/color-convert like the baseline path."""
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    planes = []
+    for c in comps:
+        qt = qtabs.get(c["tq"])
+        if qt is None:
+            raise ValueError("JPEG frame references missing quant table")
+        zz3 = coefs[c["id"]].astype(np.float64)
+        bh_, bw_ = zz3.shape[0], zz3.shape[1]
+        nat = np.zeros_like(zz3)
+        nat[:, :, ZIGZAG] = zz3 * qt.reshape(-1)[ZIGZAG]
+        blocks = nat.reshape(-1, 8, 8)
+        px = np.einsum("ij,njk,kl->nil", _C.T, blocks, _C) + 128.0
+        planes.append(
+            px.reshape(bh_, bw_, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh_ * 8, bw_ * 8)
+        )
+    return _assemble(comps, planes, h, w, hmax, vmax)

@@ -16,6 +16,7 @@ from gene_etl_spark.operators.jpeg import (
     JPEG_MAGIC,
     decode_jpeg,
     encode_jpeg,
+    encode_jpeg_progressive,
     is_jpeg,
 )
 from gene_etl_spark.operators.multimodal import decode_image, decode_media
@@ -108,14 +109,104 @@ def test_refusals_and_truncation():
         decode_jpeg(b"\x89PNG\r\n\x1a\n")
     with pytest.raises(ValueError):
         decode_jpeg(blob[: len(blob) // 2])  # truncated entropy stream
-    # progressive SOF2 refuses rather than decoding garbage
+    # a baseline stream whose SOF marker is patched to SOF2 is a
+    # MALFORMED progressive stream (its single scan claims the whole
+    # spectral band): rejected, not decoded as garbage
     prog = bytearray(blob)
     sof = prog.find(b"\xff\xc0")
     prog[sof + 1] = 0xC2
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(prog))
+    # arithmetic-coded frames stay refused
+    arith = bytearray(blob)
+    arith[sof + 1] = 0xC9
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(arith))
     with pytest.raises(ValueError):
         encode_jpeg(np.zeros((0, 4, 3), dtype=np.uint8))
+
+
+def test_progressive_matches_baseline_decode():
+    """encode_jpeg_progressive quantizes identically to encode_jpeg, so
+    after all refinement scans the progressive decode must equal the
+    baseline decode of the same image at the same quality exactly —
+    any scan-accumulation slip (spectral bands, successive
+    approximation, EOB runs) breaks equality."""
+    rng = np.random.default_rng(17)
+    cases = [
+        ((8, 8), False),  # single block
+        ((24, 17, 3), False),  # partial edge MCUs, 4:4:4
+        ((21, 19, 3), True),  # 4:2:0 interleaved DC scan
+        ((64, 48, 3), False),  # enough blocks for real EOB runs
+    ]
+    for shape, sub in cases:
+        for img in (
+            _img(*shape[:2], seed=7)[:, :, : 3 if len(shape) == 3 else 1].reshape(shape),
+            rng.integers(0, 256, shape, dtype=np.uint8),  # dense AC noise
+        ):
+            blob = encode_jpeg_progressive(img, quality=85, subsample=sub)
+            base = decode_jpeg(encode_jpeg(img, quality=85, subsample=sub))
+            prog = decode_jpeg(blob)
+            assert prog["width"] == base["width"] and prog["height"] == base["height"]
+            assert (prog["pixels"] == base["pixels"]).all(), (shape, sub)
+    # SOF2 marker actually present
+    assert blob.find(b"\xff\xc2") > 0 and blob.find(b"\xff\xc0") < 0
+
+
+def test_progressive_psnr_floor():
+    img = _img(40, 56, seed=3)
+    d = decode_jpeg(encode_jpeg_progressive(img, quality=90))
+    assert _psnr(img, d["pixels"]) > 33.0
+
+
+def test_ac_refine_scan_pair_fuzz():
+    """The AC refinement bitstream is the hairiest corner of Annex G
+    (two correction-bit buffers with different flush points); fuzz the
+    encoder/decoder pair directly over random coefficient bands."""
+    from gene_etl_spark.operators.jpeg import (
+        _PROG_AC_TABLE,
+        _ac_first_block,
+        _ac_refine_block,
+        _BitReader,
+        _BitWriter,
+        _canonical_codes,
+        _decode_tree,
+        _emit_ac_first_scan,
+        _emit_ac_refine_scan,
+    )
+
+    rng = np.random.default_rng(1)
+    ss, se = 1, 63
+    codes = _canonical_codes(*_PROG_AC_TABLE)
+    lut = _decode_tree(*_PROG_AC_TABLE)
+    for _trial in range(60):
+        blocks = []
+        for _ in range(int(rng.integers(1, 8))):
+            cf = np.zeros(64, np.int32)
+            nnz = int(rng.integers(0, 20))
+            if nnz:
+                nz = rng.choice(np.arange(1, 64), size=nnz, replace=False)
+                cf[nz] = rng.integers(-40, 40, nnz)
+            blocks.append(cf)
+        bw1 = _BitWriter()
+        _emit_ac_first_scan(bw1, blocks, ss, se, 1, codes)
+        bw1.flush()
+        state = []
+        br = _BitReader(bytes(bw1.out) + b"\xff\xd9", 0)
+        e = 0
+        for _ in blocks:
+            cfs = np.zeros(64, np.int32)
+            e = _ac_first_block(br, cfs, ss, se, 1, lut, e)
+            state.append(cfs)
+        bw2 = _BitWriter()
+        _emit_ac_refine_scan(bw2, blocks, ss, se, 0, codes)
+        bw2.flush()
+        br2 = _BitReader(bytes(bw2.out) + b"\xff\xd9", 0)
+        e = 0
+        for cfs in state:
+            e = _ac_refine_block(br2, cfs, ss, se, 0, lut, e)
+        for cfs, fin in zip(state, blocks):
+            assert (cfs[1:] == fin[1:]).all()
 
 
 def test_decode_image_dispatch():
