@@ -35,8 +35,13 @@ def _cfg(workdir, **kw):
 
 
 def _live_manifests(lake_path):
+    """Live ``v{N}.json`` manifest files only — the manifest dir also
+    holds ``fence-v{N}.json`` summaries (and ``*.expired.json``
+    tombstones), which are not snapshots."""
+    import re
+
     d = os.path.join(lake_path, MANIFEST_DIR)
-    return [f for f in os.listdir(d) if f.endswith(".json") and not f.endswith(".expired.json")]
+    return [f for f in os.listdir(d) if re.fullmatch(r"v\d+\.json", f)]
 
 
 def test_retention_policy_200_batches(spark, workdir):
