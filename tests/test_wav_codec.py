@@ -115,11 +115,13 @@ def test_spark_decode_audio_media_mixed_payloads(spark):
     assert rows[3]["sample_rate"] == 8000 and rows[3]["n_frames"] == 32
 
 
-def test_registry_entry_runs_rows_only(spark):
+def test_registry_entry_runs_oracle_gated(spark):
+    """Since round 6 the audio entry is oracle-gated: payloads are real
+    WAV bytes from the trig-free synth waveform, with a DuckDB twin."""
     from gene_etl_spark.queries import all_queries
 
     q, o = all_queries()
-    assert "multimodal_audio" in q and "multimodal_audio" not in o
+    assert "multimodal_audio" in q and "multimodal_audio" in o
     out = q["multimodal_audio"](spark, "/root/testdata/sf0.001")
     assert out.columns == [
         "doc_id", "sample_rate", "n_channels", "n_frames", "duration_sec", "rms",
