@@ -37,6 +37,10 @@ class IngestConfig:
     # --- table layout ------------------------------------------------------
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx")
     num_buckets: int = 64  # bucket(conv_id) partitioning of the lake table
+    # payload columns whose per-file [min, max] bounds every commit
+    # persists (Iceberg column-metrics analogue) — read(where=...) then
+    # skips refuted files driver-side without opening them
+    stats_cols: tuple[str, ...] = ()
 
     # --- merge strategy ------------------------------------------------------
     # "cow": copy-on-write (read-optimized; rewrite ∝ touched buckets)
@@ -101,6 +105,14 @@ class IngestConfig:
     # into one segment file when more than this many are loose (doubling
     # trigger keeps rewrite work amortized O(1)/batch). None = off.
     ledger_compact_min_loose: int | None = None
+    # Tombstone-journal retention window in LSNs (Kafka
+    # delete.retention.ms analogue): when the retention step runs,
+    # journal entries more than this far below the committed high-water
+    # mark are dropped — slices arriving later than the window lose
+    # resurrection-safety (out of contract, like a Kafka consumer slower
+    # than delete.retention.ms). None = keep every tombstone (the
+    # journal still folds to one per-key-max dir for bounded listing).
+    tombstone_retention_lsns: int | None = None
 
     # --- execution ----------------------------------------------------------
     shuffle_partitions: int | None = None  # default: match cores
@@ -126,6 +138,8 @@ class IngestConfig:
             raise ValueError("jsonl sources require source_schema_json")
         if self.expire_every_n_batches is not None and self.expire_every_n_batches < 1:
             raise ValueError("expire_every_n_batches must be >= 1")
+        if self.tombstone_retention_lsns is not None and self.tombstone_retention_lsns < 1:
+            raise ValueError("tombstone_retention_lsns must be >= 1")
         if self.expire_keep_last < 1:
             raise ValueError("expire_keep_last must be >= 1")
         if self.vacuum_grace_sec < 0:

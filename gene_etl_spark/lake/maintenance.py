@@ -249,9 +249,20 @@ def compact(
         {str(b): bucket_files.get(str(b), []) for b in fragmented},
     )
     new_deltas = _Overlay(deltas, removed=[str(b) for b in fragmented])
-    both = table._collect_file_stats_multi(bucket_files, [table.key_cols[0], LSN_COL])
+    stats_cols = [
+        c
+        for c in (manifest.get("stats_cols") or [])
+        if c not in (table.key_cols[0], LSN_COL)
+    ]
+    both = table._collect_file_stats_multi(
+        bucket_files, [table.key_cols[0], LSN_COL] + stats_cols
+    )
     new_stats = _Overlay(manifest.get("file_stats", {}) or {}, both[table.key_cols[0]])
     new_lsn_stats = _Overlay(manifest.get("lsn_stats", {}) or {}, both[LSN_COL])
+    new_col_stats = _Overlay(
+        manifest.get("col_stats", {}) or {},
+        table._invert_col_stats(both, stats_cols),
+    )
     new_manifest = {
         **manifest,
         "version": version,
@@ -260,6 +271,7 @@ def compact(
         "deltas": new_deltas,
         "file_stats": new_stats,
         "lsn_stats": new_lsn_stats,
+        "col_stats": new_col_stats,
         "properties": {},
         "summary": {
             "operation": "compact",
@@ -314,7 +326,14 @@ def rebucket(table: LakeTable, new_num_buckets: int) -> dict:
         .parquet(abs_commit)
     )
     bucket_files = table._list_bucket_files(abs_commit, rel_commit)
-    both = table._collect_file_stats_multi(bucket_files, [table.key_cols[0], LSN_COL])
+    stats_cols = [
+        c
+        for c in (manifest.get("stats_cols") or [])
+        if c not in (table.key_cols[0], LSN_COL)
+    ]
+    both = table._collect_file_stats_multi(
+        bucket_files, [table.key_cols[0], LSN_COL] + stats_cols
+    )
     new_manifest = {
         **manifest,
         "version": version,
@@ -324,6 +343,7 @@ def rebucket(table: LakeTable, new_num_buckets: int) -> dict:
         "deltas": {},
         "file_stats": both[table.key_cols[0]],
         "lsn_stats": both[LSN_COL],
+        "col_stats": table._invert_col_stats(both, stats_cols),
         "properties": {},
         "summary": {
             "operation": "rebucket",
@@ -426,6 +446,7 @@ def rollback(
         "deltas": target.get("deltas", {}) or {},
         "file_stats": target.get("file_stats", {}) or {},
         "lsn_stats": target.get("lsn_stats", {}) or {},
+        "col_stats": target.get("col_stats", {}) or {},
         "properties": {"batch_id": f"rollback-v{v_t}-from-v{cur_v}"},
         "summary": {
             "operation": "rollback",
@@ -436,6 +457,23 @@ def rollback(
         "committed_at_ms": int(time.time() * 1000),
     }
     committed = table.commit_with_rebase(new_manifest, touched)
+    # rolled-back merges' tombstone-journal entries must go with them:
+    # a rolled-back delete would otherwise keep suppressing re-applied
+    # lower-LSN upserts. Per-version journal dirs make this exact;
+    # folded `d-pruned-*` dirs are version-less and survive (run
+    # prune_tombstones before a planned rollback, or accept the
+    # conservative suppression until the replayed delete re-commits).
+    import re as _re
+    import shutil as _shutil
+
+    from gene_etl_spark.lake.table import TOMBSTONE_DIR
+
+    troot = os.path.join(table.path, TOMBSTONE_DIR)
+    if os.path.isdir(troot):
+        for d in os.listdir(troot):
+            m = _re.match(r"d-v(\d+)-", d)
+            if m and int(m.group(1)) > v_t:
+                _shutil.rmtree(os.path.join(troot, d), ignore_errors=True)
     return {
         "rolled_back": True,
         "snapshot_version": committed["version"],
@@ -593,3 +631,52 @@ def vacuum(
         "live_files": len(live),
         "removed_pieces": pieces_removed,
     }
+
+
+def prune_tombstones(
+    table: LakeTable,
+    before_lsn: int | None = None,
+    max_dirs: int = 8,
+) -> dict:
+    """Bound the tombstone journal (Kafka ``delete.retention.ms``
+    analogue): fold per-batch journal dirs into one, keep only the
+    per-key max entry, and — when ``before_lsn`` is given — drop
+    tombstones at or below it. Events later than the retention window
+    are out of contract for resurrection-safety, exactly like a Kafka
+    consumer slower than delete.retention.ms. With ``before_lsn=None``
+    this is pure hygiene (bounded dir listing, per-key dedup), skipped
+    while the journal holds ≤ ``max_dirs`` dirs. Crash between the
+    folded write and the old-dir sweep leaves duplicates — harmless to
+    the guard's max-aggregation, swept by the next prune."""
+    import shutil
+    import uuid as _uuid
+
+    from gene_etl_spark.lake.table import TOMBSTONE_DIR
+
+    dirs = table.tombstone_dirs()
+    if not dirs or (before_lsn is None and len(dirs) <= max_dirs):
+        return {"pruned": False, "dirs": len(dirs)}
+    df = table.read_tombstones()
+    if before_lsn is not None:
+        df = df.where(F.col("_lsn") > int(before_lsn))
+    key_cols = table.key_cols
+    folded = (
+        df.groupBy(*[F.col(k) for k in key_cols])
+        .agg(F.max(F.struct(F.col("_lsn"), F.col("_ts"))).alias("m"))
+        .select(*key_cols, F.col("m._lsn").alias("_lsn"), F.col("m._ts").alias("_ts"))
+        .persist()
+    )
+    try:
+        kept = folded.count()
+        if kept > 0:
+            out = os.path.join(
+                table.path,
+                TOMBSTONE_DIR,
+                f"d-pruned-{_uuid.uuid4().hex[:8]}",
+            )
+            folded.coalesce(1).write.mode("overwrite").parquet(out)
+    finally:
+        folded.unpersist()
+    for d in dirs:  # captured before the folded write — never sweeps it
+        shutil.rmtree(d, ignore_errors=True)
+    return {"pruned": True, "dirs": len(dirs), "kept_tombstones": kept}

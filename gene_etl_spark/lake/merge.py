@@ -42,6 +42,85 @@ from pyspark.storagelevel import StorageLevel
 BUCKET_COL = "bucket_id"
 
 
+def _tombstone_guard(
+    table, upd: DataFrame, key_cols, op_col, lsn_col, ts_col, start_lsn
+) -> DataFrame:
+    """Drop incoming rows outranked by a journaled delete — the Kafka
+    ``delete.retention.ms`` analogue. A LATE slice (out-of-order file
+    delivery in the stream source, an unfenced replay) can carry an
+    upsert whose key a higher-LSN batch already deleted; in CoW the
+    deleted row is gone, so the row-level LWW guard has nothing to
+    compare against and the key would resurrect. The journal remembers
+    every delete's (key, lsn, ts); strictness mirrors ``u_wins`` (an
+    equal-(lsn, ts) event is the same event — a replayed delete resolves
+    to a no-op, never a resurrect). Reads only tombstones with
+    ``_lsn > start_lsn`` — for in-order slices parquet min/max pushdown
+    prunes the whole journal, so the guard costs one listdir."""
+    tdf = table.read_tombstones(min_lsn=start_lsn)
+    if tdf is None:
+        return upd
+    TK = "__tk_"
+    agg = tdf.groupBy(*[F.col(k).alias(TK + k) for k in key_cols]).agg(
+        F.max(F.struct(F.col("_lsn"), F.col("_ts"))).alias("__tomb")
+    )
+    cond = None
+    for k in key_cols:
+        c = F.col(k).eqNullSafe(F.col(TK + k))
+        cond = c if cond is None else cond & c
+    u_lsn = F.col(lsn_col).cast("long")
+    u_ts = (
+        F.col(ts_col).cast("timestamp")
+        if ts_col in upd.columns
+        else F.lit(None).cast("timestamp")
+    )
+    t_lsn, t_ts = F.col("__tomb._lsn"), F.col("__tomb._ts")
+    keep = (
+        F.col("__tomb").isNull()
+        | (u_lsn > t_lsn)
+        | ((u_lsn == t_lsn) & F.coalesce(u_ts > t_ts, F.lit(False)))
+    )
+    return (
+        upd.join(F.broadcast(agg), cond, "left")
+        .where(keep)
+        .drop("__tomb", *[TK + k for k in key_cols])
+    )
+
+
+def _journal_tombstones(
+    table, upd: DataFrame, key_cols, op_col, lsn_col, ts_col, version
+) -> None:
+    """Append the slice's delete events to the tombstone journal. Runs
+    over the already-persisted slice (one tiny job), BEFORE the manifest
+    link — like data files, a losing/crashed commit can leave orphan
+    tombstones, which only ever suppress events older than a delete the
+    batch will re-commit on replay (conservative, self-healing)."""
+    import uuid as _uuid
+
+    from gene_etl_spark.lake.table import TOMBSTONE_DIR
+
+    ts_expr = (
+        F.col(ts_col).cast("timestamp")
+        if ts_col in upd.columns
+        else F.lit(None).cast("timestamp")
+    )
+    out = os.path.join(
+        table.path,
+        TOMBSTONE_DIR,
+        f"d-v{version:06d}-{_uuid.uuid4().hex[:8]}",
+    )
+    (
+        upd.where(F.col(op_col) == "D")
+        .select(
+            *[F.col(k) for k in key_cols],
+            F.col(lsn_col).cast("long").alias("_lsn"),
+            ts_expr.alias("_ts"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+
+
 def _counters_agg(merged: DataFrame, key_cols: list[str]) -> DataFrame:
     """Per-partition lineage counters + output-key uniqueness in one pass
     over the cached join output. The full_outer join hash-partitions by
@@ -120,8 +199,8 @@ def merge_into(
     if mode == "mor":
         return _merge_mor(
             table, updates, batch_id=batch_id, op_col=op_col, lsn_col=lsn_col,
-            start_lsn=start_lsn, end_lsn=end_lsn, pre_commit_gate=pre_commit_gate,
-            stage_id=stage_id,
+            ts_col=ts_col, start_lsn=start_lsn, end_lsn=end_lsn,
+            pre_commit_gate=pre_commit_gate, stage_id=stage_id,
         )
     from gene_etl_spark.lake.table import LSN_COL
 
@@ -161,9 +240,20 @@ def merge_into(
     timings: dict[str, float] = {}
     tp = time.time()
     upd = updates.withColumn(BUCKET_COL, table.bucket_expr())
+    upd = _tombstone_guard(
+        table, upd, key_cols, op_col, lsn_col, ts_col, start_lsn
+    )
     upd = upd.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        touched = sorted(r[0] for r in upd.select(BUCKET_COL).distinct().collect())
+        # one job: touched buckets + whether the slice carries deletes
+        # (gates the tombstone-journal write)
+        brows = (
+            upd.groupBy(BUCKET_COL)
+            .agg(F.max((F.col(op_col) == "D").cast("int")).alias("has_d"))
+            .collect()
+        )
+        touched = sorted(r[BUCKET_COL] for r in brows)
+        slice_has_deletes = any(r["has_d"] for r in brows)
         if pre_commit_gate is not None:
             pre_commit_gate()
     except BaseException:
@@ -262,6 +352,10 @@ def merge_into(
     counters = _counters_agg(merged, key_cols).collect()
     timings["counters_sec"] = round(time.time() - tp, 3)
     merged.unpersist()
+    if slice_has_deletes:
+        _journal_tombstones(
+            table, upd, key_cols, op_col, lsn_col, ts_col, version
+        )
     upd.unpersist()
 
     # ---- commit the new snapshot ----------------------------------------
@@ -284,9 +378,20 @@ def merge_into(
     )
     # per-file key + LSN bounds from one footer pass over the just-
     # written files (point-lookup skipping + the fast MoR resolve proof)
-    both = table._collect_file_stats_multi(bucket_files, [key_cols[0], LSN_COL])
+    stats_cols = [
+        c
+        for c in (manifest.get("stats_cols") or [])
+        if c not in (key_cols[0], LSN_COL)
+    ]
+    both = table._collect_file_stats_multi(
+        bucket_files, [key_cols[0], LSN_COL] + stats_cols
+    )
     new_stats = _Overlay(manifest.get("file_stats", {}) or {}, both[key_cols[0]])
     new_lsn_stats = _Overlay(manifest.get("lsn_stats", {}) or {}, both[LSN_COL])
+    new_col_stats = _Overlay(
+        manifest.get("col_stats", {}) or {},
+        table._invert_col_stats(both, stats_cols),
+    )
 
     res = MergeResult(snapshot_version=version, touched_buckets=touched)
     for row in counters:
@@ -312,10 +417,12 @@ def merge_into(
         "schema": _json.loads(evolved_schema.json()),
         "key_cols": key_cols,
         "num_buckets": num_buckets,
+        "stats_cols": list(manifest.get("stats_cols") or []),
         "files": new_files,
         "deltas": new_deltas,
         "file_stats": new_stats,
         "lsn_stats": new_lsn_stats,
+        "col_stats": new_col_stats,
         "properties": {
             "batch_id": batch_id,
             "start_lsn": start_lsn,
@@ -352,6 +459,7 @@ def _merge_mor(
     lsn_col: str,
     start_lsn: int | None,
     end_lsn: int | None,
+    ts_col: str = "ts",
     pre_commit_gate=None,
     stage_id: str | None = None,
 ) -> MergeResult:
@@ -405,6 +513,13 @@ def _merge_mor(
         F.col(lsn_col).cast("long").alias(LSN_COL),
         F.col(op_col).alias(OP_COL),
     ).withColumn(BUCKET_COL, table.bucket_expr())
+    # tombstone-journal guard: delta resolution is LWW over base∪deltas,
+    # but COMPACTION folds tombstones away — a late slice arriving after
+    # a compaction has the same resurrect hole as CoW, so MoR guards and
+    # journals uniformly
+    upd = _tombstone_guard(
+        table, upd, key_cols, OP_COL, LSN_COL, ts_col, start_lsn
+    )
     upd = upd.persist(StorageLevel.MEMORY_AND_DISK)
 
     # per-partition lineage counters on the delta itself (deduped input:
@@ -449,6 +564,10 @@ def _merge_mor(
         .parquet(abs_commit)
     )
     timings["delta_write_sec"] = round(time.time() - tp, 3)
+    if sum(int(r["deletes"] or 0) for r in counters) > 0:
+        _journal_tombstones(
+            table, upd, key_cols, OP_COL, LSN_COL, ts_col, version
+        )
     upd.unpersist()
 
     # overlay over the parent's (lazy) delta map: only the touched
@@ -492,10 +611,15 @@ def _merge_mor(
         "schema": _json.loads(evolved_schema.json()),
         "key_cols": key_cols,
         "num_buckets": table.num_buckets,
+        "stats_cols": list(manifest.get("stats_cols") or []),
         "files": manifest.get("files", {}) or {},  # base untouched (lazy)
         "deltas": new_deltas,
         "file_stats": manifest.get("file_stats", {}) or {},  # untouched (lazy)
         "lsn_stats": new_lsn_stats,
+        # deltas carry no col_stats on purpose: a delta-carrying bucket is
+        # never file-pruned (resolution precedes filtering), so bounds on
+        # delta files would never be consulted
+        "col_stats": manifest.get("col_stats", {}) or {},  # untouched (lazy)
         "properties": {
             "batch_id": batch_id,
             "start_lsn": start_lsn,

@@ -48,6 +48,7 @@ from pyspark.sql import types as T
 from gene_etl_spark.functions import bucket_of
 
 MANIFEST_DIR = "_manifests"
+TOMBSTONE_DIR = "_tombstones"
 EXPIRED_SUBDIR = "expired"  # _manifests/expired/v{N}.json — see expire_snapshots
 PIECE_DIR = os.path.join(MANIFEST_DIR, "pieces")
 STAGED_DIR = os.path.join(MANIFEST_DIR, "staged")
@@ -56,8 +57,76 @@ LSN_COL = "_lsn"  # hidden per-row last-writer LSN, enables cross-batch LWW
 OP_COL = "_op"  # delta files only: I/U/D (tombstones live in deltas)
 
 # manifest fields that live in per-bucket piece files (format 2)
-_PIECE_FIELDS = ("files", "deltas", "file_stats", "lsn_stats")
+_PIECE_FIELDS = ("files", "deltas", "file_stats", "lsn_stats", "col_stats")
 _BUCKET_OF_REL = re.compile(r"(?:^|/)bucket_id=([^/]+)/")
+
+# predicate vocabulary for read(where=...) data skipping
+_WHERE_OPS = ("=", "==", "<", "<=", ">", ">=", "in", "between")
+
+
+def _validate_where(where) -> None:
+    for conj in where:
+        if not (isinstance(conj, (tuple, list)) and len(conj) == 3):
+            raise ValueError(f"where conjunct must be (col, op, value): {conj!r}")
+        col, op, val = conj
+        if op not in _WHERE_OPS:
+            raise ValueError(f"unsupported where op {op!r} (one of {_WHERE_OPS})")
+        if op == "in" and not isinstance(val, (list, tuple, set)):
+            raise ValueError(f"'in' needs a list/tuple/set of values: {val!r}")
+        if op == "between" and not (
+            isinstance(val, (list, tuple)) and len(val) == 2
+        ):
+            raise ValueError(f"'between' needs a (lo, hi) pair: {val!r}")
+
+
+def _bounds_may_match(bounds, op, val) -> bool:
+    """Can any value in [lo, hi] satisfy ``op val``? Conservative: an
+    incomparable type (or any surprise) keeps the file. Parquet min/max
+    cover non-null values only, and every supported op is null-rejecting
+    (SQL comparison semantics), so pruning on these bounds is exact."""
+    lo, hi = bounds
+    try:
+        if op in ("=", "=="):
+            return lo <= val <= hi
+        if op == "<":
+            return lo < val
+        if op == "<=":
+            return lo <= val
+        if op == ">":
+            return hi > val
+        if op == ">=":
+            return hi >= val
+        if op == "in":
+            return any(lo <= v <= hi for v in val)
+        if op == "between":
+            return not (val[1] < lo or hi < val[0])
+    except TypeError:
+        return True
+    return True
+
+
+def _where_to_column(where) -> F.Column:
+    """The residual Spark filter for a ``where`` conjunction — always
+    applied in full; file skipping is purely an optimization layer."""
+    cond = None
+    for col, op, val in where:
+        c = F.col(col)
+        if op in ("=", "=="):
+            e = c == F.lit(val)
+        elif op == "<":
+            e = c < F.lit(val)
+        elif op == "<=":
+            e = c <= F.lit(val)
+        elif op == ">":
+            e = c > F.lit(val)
+        elif op == ">=":
+            e = c >= F.lit(val)
+        elif op == "in":
+            e = c.isin(*list(val))
+        else:  # between
+            e = c.between(F.lit(val[0]), F.lit(val[1]))
+        cond = e if cond is None else cond & e
+    return cond
 
 
 class _PieceView(Mapping):
@@ -199,6 +268,7 @@ class LakeTable:
         key_cols: list[str],
         num_buckets: int = 64,
         overwrite: bool = False,
+        stats_cols: list[str] | None = None,
     ) -> "LakeTable":
         tbl = cls(spark, path)
         if cls.exists(path):
@@ -215,6 +285,10 @@ class LakeTable:
             "schema": json.loads(schema.json()),
             "key_cols": list(key_cols),
             "num_buckets": int(num_buckets),
+            # payload columns whose per-file [min, max] bounds every
+            # CoW/compact/rebucket commit persists (Iceberg column-metrics
+            # analogue) — read(where=...) skips files these bounds refute
+            "stats_cols": list(stats_cols or []),
             "files": {},  # bucket(str) -> [relative file paths]
             "properties": {},
             "summary": {"operation": "create", "total_rows": 0},
@@ -265,6 +339,10 @@ class LakeTable:
     @property
     def num_buckets(self) -> int:
         return int(self.manifest["num_buckets"])
+
+    @property
+    def stats_cols(self) -> list[str]:
+        return list(self.manifest.get("stats_cols") or [])
 
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self.path, MANIFEST_DIR, f"v{version}.json")
@@ -465,6 +543,7 @@ class LakeTable:
                     "deltas": new_deltas,
                     "file_stats": _merged("file_stats"),
                     "lsn_stats": _merged("lsn_stats"),
+                    "col_stats": _merged("col_stats"),
                     "summary": summary,
                 }
         raise CommitConflict(
@@ -524,6 +603,7 @@ class LakeTable:
         deltas = manifest.get("deltas", {}) or {}
         fstats = manifest.get("file_stats", {}) or {}
         lstats = manifest.get("lsn_stats", {}) or {}
+        cstats = manifest.get("col_stats", {}) or {}
         parent_pieces: dict = {}
         if manifest.get("parent") is not None:
             try:
@@ -553,6 +633,7 @@ class LakeTable:
                 "deltas": bdeltas,
                 "file_stats": {r: fstats[r] for r in refs if r in fstats},
                 "lsn_stats": {r: lstats[r] for r in refs if r in lstats},
+                "col_stats": {r: cstats[r] for r in refs if r in cstats},
             }
             pointers[b] = [self._write_piece(content), flags]
 
@@ -820,9 +901,25 @@ class LakeTable:
         buckets: list[int] | None = None,
         include_meta: bool = False,
         manifest: dict | None = None,
+        where: list[tuple] | None = None,
     ) -> DataFrame:
         """Scan the table (optionally pruned to a bucket list; pass a
         historical manifest for time travel).
+
+        ``where`` is a conjunction of ``(col, op, value)`` predicates
+        (ops: = < <= > >= in between). Clean buckets skip every base
+        file whose persisted per-file [min, max] bounds refute a
+        conjunct — key bounds are always available (``file_stats``);
+        payload columns need to be declared via ``stats_cols`` at
+        create time (``col_stats``, the Iceberg column-metrics
+        analogue). At 10^10 rows this is manifest-level skipping: a
+        selective predicate never opens the non-matching files at all,
+        on top of the row-group skipping Spark's parquet reader does
+        inside the survivors. Delta-carrying buckets read fully (an
+        unmatched base row may be updated INTO the predicate, so
+        resolution must precede filtering); the full predicate is
+        always applied as a residual filter, so skipping is purely an
+        optimization and files without bounds are simply kept.
 
         Explicit schema + recursiveFileLookup: no schema inference, no
         partition discovery, and files predating a schema evolution read
@@ -855,8 +952,17 @@ class LakeTable:
         )
         dirty = [b for b in requested if delta_map.get(b)]
         clean = [int(b) for b in requested if not delta_map.get(b)]
-        out = self._scan(self._files_for(clean, manifest=m), phys)
+        residual = None
+        if where:
+            _validate_where(where)
+            residual = _where_to_column(where)
+            kept, _ = self._pruned_base_files(clean, where, m)
+            out = self._scan([os.path.join(self.path, r) for r in kept], phys)
+        else:
+            out = self._scan(self._files_for(clean, manifest=m), phys)
         if not dirty:
+            if residual is not None:
+                out = out.where(residual)
             return out if include_meta else out.drop(LSN_COL)
 
         # split dirty buckets by whether the manifest's per-file LSN
@@ -940,6 +1046,8 @@ class LakeTable:
                 .select(*[F.col(f.name) for f in phys.fields])
             )
             out = out.unionByName(resolved)
+        if residual is not None:
+            out = out.where(residual)
         return out if include_meta else out.drop(LSN_COL)
 
     # ------------------------------------------------------------------ #
@@ -1022,6 +1130,19 @@ class LakeTable:
         return out
 
     @staticmethod
+    def _invert_col_stats(
+        multi: dict[str, dict[str, list]], cols: list[str]
+    ) -> dict[str, dict[str, list]]:
+        """Re-key ``_collect_file_stats_multi`` output (col -> rel ->
+        bounds) into the manifest's ``col_stats`` shape (rel -> col ->
+        bounds) for the declared stats columns."""
+        out: dict[str, dict[str, list]] = {}
+        for c in cols:
+            for rel, bounds in (multi.get(c) or {}).items():
+                out.setdefault(rel, {})[c] = bounds
+        return out
+
+    @staticmethod
     def _list_bucket_files(abs_commit_dir: str, rel_commit_dir: str) -> dict[str, list[str]]:
         """Map bucket -> relative parquet paths under a commit directory
         written with ``partitionBy("bucket_id")``."""
@@ -1037,8 +1158,133 @@ class LakeTable:
                     out.setdefault(b, []).append(os.path.join(rel_root, fn))
         return out
 
+    # ------------------------------------------------------------------ #
+    # tombstone journal — the Kafka `delete.retention.ms` analogue.
+    # Every merge records the slice's delete events (key, _lsn, _ts)
+    # under `_tombstones/`; merge guards incoming rows against journal
+    # entries with strictly higher (lsn, ts), so a LATE slice (out-of-
+    # order file delivery, unfenced replay) can never resurrect a
+    # tombstoned key — in CoW the deleted row itself is gone, so the
+    # row-level LWW guard alone cannot see the delete. The journal read
+    # is filtered by `_lsn > start_lsn`: for in-order slices parquet
+    # min/max pushdown prunes every journal file, so the guard is
+    # self-pruning at scale; `maintenance.prune_tombstones` bounds the
+    # journal with an LSN retention window (events later than the
+    # window are out of contract, exactly like Kafka's).
+    def _tombstone_schema(self):
+        import pyspark.sql.types as T
+
+        key_fields = [
+            f for f in self.schema.fields if f.name in self.key_cols
+        ]
+        return T.StructType(
+            key_fields
+            + [
+                T.StructField("_lsn", T.LongType()),
+                T.StructField("_ts", T.TimestampType()),
+            ]
+        )
+
+    def tombstone_dirs(self) -> list[str]:
+        root = os.path.join(self.path, TOMBSTONE_DIR)
+        if not os.path.isdir(root):
+            return []
+        return sorted(
+            os.path.join(root, d)
+            for d in os.listdir(root)
+            if os.path.isdir(os.path.join(root, d))
+        )
+
+    def read_tombstones(self, min_lsn: int | None = None):
+        """Journaled delete events, optionally only those ABOVE a slice's
+        start LSN (the only ones that can outrank its rows). Returns
+        None when the journal is empty — the common no-deletes-ever
+        case costs one listdir per merge, no Spark plan."""
+        dirs = self.tombstone_dirs()
+        if not dirs:
+            return None
+        df = (
+            self.spark.read.schema(self._tombstone_schema())
+            .option("recursiveFileLookup", "true")
+            .parquet(*dirs)
+        )
+        if min_lsn is not None:
+            df = df.where(F.col("_lsn") > F.lit(int(min_lsn)))
+        return df
+
     def bucket_expr(self, col: str | None = None) -> F.Column:
         return bucket_of(col or self.key_cols[0], self.num_buckets)
+
+    def _pruned_base_files(
+        self, bucket_ids: list[int], where, manifest: dict
+    ) -> tuple[list[str], int]:
+        """Relative base-file paths of ``bucket_ids`` that the per-file
+        bounds cannot refute for ``where``, plus the skipped count.
+        Bounds sources: ``file_stats`` (the bucketing key — always
+        collected; the range-partitioned write makes those bounds tight
+        and disjoint) and ``col_stats`` (declared ``stats_cols``). A
+        file lacking bounds for a referenced column is kept — bounds
+        are an optimization, absent e.g. for all-null or pre-schema-
+        evolution files. Driver-side cost is one piece load per bucket
+        examined, never any data I/O."""
+        key0 = manifest["key_cols"][0]
+        fstats = manifest.get("file_stats", {}) or {}
+        cstats = manifest.get("col_stats", {}) or {}
+        files_map = manifest.get("files", {}) or {}
+        kept: list[str] = []
+        skipped = 0
+        for b in bucket_ids:
+            for rel in files_map.get(str(b), []) or []:
+                cbounds = None  # per-file col_stats, loaded lazily
+                keep = True
+                for col, op, val in where:
+                    if col == key0:
+                        bounds = fstats.get(rel)
+                    else:
+                        if cbounds is None:
+                            cbounds = cstats.get(rel) or {}
+                        bounds = cbounds.get(col)
+                    if bounds is not None and not _bounds_may_match(
+                        bounds, op, val
+                    ):
+                        keep = False
+                        break
+                if keep:
+                    kept.append(rel)
+                else:
+                    skipped += 1
+        return kept, skipped
+
+    def prune_report(
+        self,
+        where: list[tuple],
+        buckets: list[int] | None = None,
+        manifest: dict | None = None,
+    ) -> dict:
+        """Dry-run of ``read(where=...)``'s file skipping: against the
+        current (or given) manifest, how many base files the persisted
+        bounds keep vs skip. Delta-carrying buckets are reported
+        separately — their base files are never pruned (resolution must
+        precede filtering)."""
+        m = manifest or self.manifest
+        _validate_where(where)
+        files_map = m.get("files", {}) or {}
+        delta_map = m.get("deltas", {}) or {}
+        requested = (
+            [str(b) for b in buckets]
+            if buckets is not None
+            else sorted(set(files_map) | set(delta_map), key=int)
+        )
+        clean = [int(b) for b in requested if not delta_map.get(b)]
+        dirty = [b for b in requested if delta_map.get(b)]
+        kept, skipped = self._pruned_base_files(clean, where, m)
+        return {
+            "kept_files": len(kept),
+            "skipped_files": skipped,
+            "unprunable_dirty_files": sum(
+                len(files_map.get(b, []) or []) for b in dirty
+            ),
+        }
 
     def lookup(self, key_value) -> DataFrame:
         """Point read for one value of the bucketing key: compute its

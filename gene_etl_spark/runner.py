@@ -80,6 +80,7 @@ class CdcIngestRunner:
             T.StructType(payload_fields),
             key_cols=list(self.config.key_cols),
             num_buckets=self.config.num_buckets,
+            stats_cols=list(self.config.stats_cols),
         )
 
     # ------------------------------------------------------------------ #
@@ -335,11 +336,21 @@ class CdcIngestRunner:
                 # unpublished WAP stages stay pinned (soak-proven).
                 from gene_etl_spark.lake.maintenance import (
                     expire_snapshots,
+                    prune_tombstones,
                     vacuum,
                 )
 
                 expire_snapshots(self.table, keep_last=self.config.expire_keep_last)
                 vacuum(self.table, older_than_sec=self.config.vacuum_grace_sec)
+                retain = self.config.tombstone_retention_lsns
+                prune_tombstones(
+                    self.table,
+                    before_lsn=(
+                        None
+                        if retain is None
+                        else self.ledger.max_committed_end_lsn() - retain
+                    ),
+                )
             if self.config.ledger_compact_min_loose is not None:
                 self.ledger.compact_if_needed(
                     min_loose=self.config.ledger_compact_min_loose

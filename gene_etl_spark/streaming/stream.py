@@ -97,6 +97,7 @@ def ingest_stream(
             T.StructType(payload),
             key_cols=list(config.key_cols),
             num_buckets=config.num_buckets,
+            stats_cols=list(config.stats_cols),
         )
     ledger = Ledger(config.ledger_path)
     metrics = MetricsTable(spark, config.metrics_path)
@@ -243,11 +244,21 @@ def ingest_stream(
             if ev and applied["epochs"] % ev == 0:
                 from gene_etl_spark.lake.maintenance import (
                     expire_snapshots,
+                    prune_tombstones,
                     vacuum,
                 )
 
                 expire_snapshots(table, keep_last=config.expire_keep_last)
                 vacuum(table, older_than_sec=config.vacuum_grace_sec)
+                retain = config.tombstone_retention_lsns
+                prune_tombstones(
+                    table,
+                    before_lsn=(
+                        None
+                        if retain is None
+                        else ledger.max_committed_end_lsn() - retain
+                    ),
+                )
             if config.ledger_compact_min_loose is not None:
                 ledger.compact_if_needed(
                     min_loose=config.ledger_compact_min_loose

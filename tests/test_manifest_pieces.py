@@ -156,6 +156,7 @@ def test_format1_manifest_back_compat(spark, seeded):
         "deltas": {b: list(fs) for b, fs in (m.get("deltas", {}) or {}).items()},
         "file_stats": dict(m.get("file_stats", {}) or {}),
         "lsn_stats": dict(m.get("lsn_stats", {}) or {}),
+        "col_stats": dict(m.get("col_stats", {}) or {}),
         "version": m["version"] + 1,
         "parent": m["version"],
     }
