@@ -27,10 +27,14 @@ from gene_etl_spark.lake.table import (
 )
 
 
-def read_at_version(table: LakeTable, version: int) -> DataFrame:
+def read_at_version(
+    table: LakeTable, version: int, where: list[tuple] | None = None
+) -> DataFrame:
     """Time-travel scan of snapshot ``version`` (MoR deltas of that
-    snapshot resolve exactly as a live read would)."""
-    return table.read(manifest=table._read_manifest(version))
+    snapshot resolve exactly as a live read would). ``where`` gets the
+    same column-metrics file skipping as a live ``read(where=...)`` —
+    the historical manifest carries its own col_stats pieces."""
+    return table.read(manifest=table._read_manifest(version), where=where)
 
 
 def version_at(table: LakeTable, ts_ms: int) -> int:
@@ -60,11 +64,13 @@ def version_at(table: LakeTable, ts_ms: int) -> int:
     return best
 
 
-def read_at_ts(table: LakeTable, ts_ms: int) -> DataFrame:
+def read_at_ts(
+    table: LakeTable, ts_ms: int, where: list[tuple] | None = None
+) -> DataFrame:
     """Timestamp time travel: scan the snapshot that was current at
     ``ts_ms`` (wall-clock of the commit, not event time — the LSN/event
     dimension travels via ``cdc_changes``/``read_at_version``)."""
-    return read_at_version(table, version_at(table, ts_ms))
+    return read_at_version(table, version_at(table, ts_ms), where=where)
 
 
 REFS_SUBDIR = "refs"

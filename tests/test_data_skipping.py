@@ -240,6 +240,21 @@ def test_rollback_carries_col_stats(seeded, spark):
     assert got.where(F.col("conv_id") == "conv-0").count() == 0
 
 
+def test_time_travel_reads_skip_with_historical_stats(seeded, spark):
+    v1 = seeded.version
+    # move conv-2 turn 0 out of its old range; the historical manifest's
+    # col_stats still prune for the v1 read
+    _merge(seeded, spark, [("conv-2", 0, 999_000, "U")], "move", 400)
+    where = [("score", "between", (2000, 2005))]
+    live = seeded.read(where=where).count()
+    past = mt.read_at_version(seeded, v1, where=where).count()
+    assert (live, past) == (TURNS - 1, TURNS)
+    rep_past = seeded.prune_report(
+        where, manifest=seeded._read_manifest(v1)
+    )
+    assert rep_past["kept_files"] == 1 and rep_past["skipped_files"] > 0
+
+
 def test_where_validation_errors(seeded):
     for bad in (
         [("score", "!=", 1)],
