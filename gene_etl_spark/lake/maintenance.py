@@ -165,12 +165,89 @@ def read_tag(table: LakeTable, name: str) -> DataFrame:
     return read_at_version(table, tags[name]["version"])
 
 
+ZORDER_BITS = 6  # 64 quantile cells per clustered dimension
+
+
+def zorder_expr(
+    df: DataFrame, cols: list[str], bits_per_dim: int = ZORDER_BITS
+) -> F.Column:
+    """Z-value (Morton) column for multi-dimensional clustering: each
+    column is quantile-ranked into ``2^bits_per_dim`` cells (one
+    ``approxQuantile`` pass over ``df``; skew-proof — ranks are
+    equi-populated, not min-max scaled), then the per-dimension rank
+    bits are interleaved so sorting by the result keeps EVERY clustered
+    column's per-file [min, max] bounds tight, not just the leading
+    one. The cell boundaries are baked in as literals, so the returned
+    expression is a pure row-local function — whole-stage codegen,
+    no shuffle, no UDF.
+
+    Columns must be numeric or timestamp (rank needs an order that a
+    driver-side quantile sketch can capture); NULLs rank 0 and cluster
+    together in the low corner. Quantile-duplicate boundaries (heavy
+    hitters) collapse cells — monotonicity is preserved.
+    """
+    from functools import reduce
+
+    from pyspark.sql import types as T
+
+    if len(cols) < 2:
+        raise ValueError("zorder needs >= 2 cluster columns (1 is a plain sort)")
+    if bits_per_dim * len(cols) > 60:
+        raise ValueError("zorder bits exceed a long: reduce bits_per_dim or cols")
+    nums = []
+    for c in cols:
+        dtype = df.schema[c].dataType
+        if not isinstance(
+            dtype,
+            (T.NumericType, T.TimestampType, T.TimestampNTZType, T.DateType),
+        ):
+            raise ValueError(
+                f"zorder column {c!r} has unorderable-for-quantiles type "
+                f"{dtype.simpleString()}; numeric/timestamp/date only"
+            )
+        num = F.col(c)
+        if isinstance(dtype, T.DateType):
+            num = F.unix_date(num)
+        elif isinstance(dtype, T.TimestampNTZType):
+            # no direct ntz->double cast; the session is pinned UTC so
+            # the tz-reinterpretation is the identity
+            num = num.cast("timestamp")
+        num = num.cast("double")
+        nums.append(num)
+    n_cells = 1 << bits_per_dim
+    probs = [i / n_cells for i in range(1, n_cells)]
+    bounds = df.select(
+        *[n.alias(f"_zq{i}") for i, n in enumerate(nums)]
+    ).approxQuantile(
+        [f"_zq{i}" for i in range(len(nums))], probs, 1.0 / (4 * n_cells)
+    )
+    nd = len(cols)
+    terms = []
+    for d, (num, bs) in enumerate(zip(nums, bounds)):
+        # 0..n_cells-1 rank: count of cell boundaries at or below the value
+        rank = (
+            reduce(
+                lambda a, b: a + b,
+                [F.when(num >= F.lit(float(b)), 1).otherwise(0) for b in bs],
+            ).cast("long")
+            if bs
+            else F.lit(0).cast("long")  # all-NULL column: single cell
+        )
+        for k in range(bits_per_dim):
+            terms.append(
+                F.shiftleft(F.shiftright(rank, k).bitwiseAND(F.lit(1)), k * nd + d)
+            )
+    return reduce(lambda a, b: a.bitwiseOR(b), terms)
+
+
 def compact(
     table: LakeTable,
     max_files_per_bucket: int = 1,
     buckets: list[int] | None = None,
     target_file_size_bytes: int | None = None,
     sort_cols: list[str] | None = None,
+    cluster: str = "lex",
+    zorder_bits: int = ZORDER_BITS,
 ) -> dict:
     """Rewrite buckets whose base-file count exceeds the target — or
     which carry MoR delta files — into fresh resolved base files; commits
@@ -190,7 +267,26 @@ def compact(
     bucket holds. ``sort_cols`` overrides the within-file clustering
     (first column drives the range slicing — multi-column lexicographic
     is the Z-order-lite that keeps several predicates' row-group stats
-    selective); default is the bucketing key."""
+    selective); default is the bucketing key.
+
+    ``cluster="zorder"``: slice and sort by the bit-interleaved
+    quantile-rank z-value of ``sort_cols`` instead of lexicographically
+    (the Delta ``OPTIMIZE ZORDER BY`` analogue). Lexicographic order
+    only makes the LEADING column's per-file bounds selective — at many
+    files per bucket, a predicate on the second column keeps every
+    file. Z-order files cover near-square hyperrectangles, so
+    ``read(where=...)`` data skipping prunes on ANY clustered column.
+    The trade: per-file KEY bounds are no longer disjoint, so point
+    lookups in multi-file buckets scan more than one file — choose per
+    table whether point or analytical reads dominate. Costs one extra
+    pass over the fragmented buckets (the quantile sketch)."""
+    if cluster not in ("lex", "zorder"):
+        raise ValueError(f"cluster must be 'lex' or 'zorder', got {cluster!r}")
+    if cluster == "zorder":
+        if not sort_cols:
+            raise ValueError("cluster='zorder' requires sort_cols")
+        if len(sort_cols) < 2:
+            raise ValueError("zorder needs >= 2 cluster columns (1 is a plain sort)")
     manifest = table.manifest
     deltas = manifest.get("deltas", {}) or {}
     if buckets is not None:
@@ -213,10 +309,15 @@ def compact(
     version = manifest["version"] + 1
     rel_commit = table._new_commit_dir(version)
     abs_commit = os.path.join(table.path, rel_commit)
+    zcol = "_zorder_key"
     if target_file_size_bytes or sort_cols:
-        order = [F.col(BUCKET_COL)] + [
-            F.col(c) for c in (sort_cols or [table.key_cols[0]])
-        ]
+        if cluster == "zorder":
+            df = df.withColumn(zcol, zorder_expr(df, sort_cols, zorder_bits))
+            order = [F.col(BUCKET_COL), F.col(zcol)]
+        else:
+            order = [F.col(BUCKET_COL)] + [
+                F.col(c) for c in (sort_cols or [table.key_cols[0]])
+            ]
         n_tasks = max(len(fragmented), 1)
         if target_file_size_bytes:
             files_map = manifest.get("files", {}) or {}
@@ -228,10 +329,15 @@ def compact(
                 if os.path.exists(os.path.join(table.path, rel))
             )
             n_tasks = max(n_tasks, -(-in_bytes // target_file_size_bytes))
+        out = df.repartitionByRange(int(n_tasks), *order).sortWithinPartitions(
+            *order
+        )
+        if cluster == "zorder":
+            # narrow projection after the sort: row order within each
+            # task is preserved, the synthetic key never hits disk
+            out = out.drop(zcol)
         (
-            df.repartitionByRange(int(n_tasks), *order)
-            .sortWithinPartitions(*order)
-            .write.partitionBy(BUCKET_COL)
+            out.write.partitionBy(BUCKET_COL)
             .mode("overwrite")
             .parquet(abs_commit)
         )

@@ -46,6 +46,11 @@ def main() -> None:
         "--sort-by", default=None,
         help="comma-separated within-file clustering columns (default: key)",
     )
+    p.add_argument(
+        "--cluster", choices=("lex", "zorder"), default="lex",
+        help="zorder: bit-interleave --sort-by quantile ranks so data"
+        " skipping prunes on every clustered column, not just the first",
+    )
 
     p = sub.add_parser("expire", help="expire old snapshots (fencing history kept)")
     p.add_argument("--keep-last", type=int, default=10)
@@ -94,6 +99,7 @@ def main() -> None:
                 else None
             ),
             sort_cols=args.sort_by.split(",") if args.sort_by else None,
+            cluster=args.cluster,
         )
     elif args.cmd == "expire":
         out = maintenance.expire_snapshots(table, keep_last=args.keep_last)
