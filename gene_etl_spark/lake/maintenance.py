@@ -367,7 +367,8 @@ def compact(
         if c not in (table.key_cols[0], LSN_COL)
     ]
     both = table._collect_file_stats_multi(
-        bucket_files, [table.key_cols[0], LSN_COL] + stats_cols
+        bucket_files, [table.key_cols[0], LSN_COL] + stats_cols,
+        null_counts_for=stats_cols,
     )
     new_stats = _Overlay(manifest.get("file_stats", {}) or {}, both[table.key_cols[0]])
     new_lsn_stats = _Overlay(manifest.get("lsn_stats", {}) or {}, both[LSN_COL])
@@ -444,7 +445,8 @@ def rebucket(table: LakeTable, new_num_buckets: int) -> dict:
         if c not in (table.key_cols[0], LSN_COL)
     ]
     both = table._collect_file_stats_multi(
-        bucket_files, [table.key_cols[0], LSN_COL] + stats_cols
+        bucket_files, [table.key_cols[0], LSN_COL] + stats_cols,
+        null_counts_for=stats_cols,
     )
     new_manifest = {
         **manifest,

@@ -384,7 +384,8 @@ def merge_into(
         if c not in (key_cols[0], LSN_COL)
     ]
     both = table._collect_file_stats_multi(
-        bucket_files, [key_cols[0], LSN_COL] + stats_cols
+        bucket_files, [key_cols[0], LSN_COL] + stats_cols,
+        null_counts_for=stats_cols,
     )
     new_stats = _Overlay(manifest.get("file_stats", {}) or {}, both[key_cols[0]])
     new_lsn_stats = _Overlay(manifest.get("lsn_stats", {}) or {}, both[LSN_COL])

@@ -61,7 +61,9 @@ _PIECE_FIELDS = ("files", "deltas", "file_stats", "lsn_stats", "col_stats")
 _BUCKET_OF_REL = re.compile(r"(?:^|/)bucket_id=([^/]+)/")
 
 # predicate vocabulary for read(where=...) data skipping
-_WHERE_OPS = ("=", "==", "<", "<=", ">", ">=", "in", "between")
+_WHERE_OPS = (
+    "=", "==", "<", "<=", ">", ">=", "in", "between", "is_null", "not_null",
+)
 
 
 def _validate_where(where) -> None:
@@ -73,6 +75,8 @@ def _validate_where(where) -> None:
             raise ValueError(f"unsupported where op {op!r} (one of {_WHERE_OPS})")
         if op == "in" and not isinstance(val, (list, tuple, set)):
             raise ValueError(f"'in' needs a list/tuple/set of values: {val!r}")
+        if op in ("is_null", "not_null") and val is not None:
+            raise ValueError(f"{op!r} takes no value (pass None): {val!r}")
         if op == "between" and not (
             isinstance(val, (list, tuple)) and len(val) == 2
         ):
@@ -82,9 +86,22 @@ def _validate_where(where) -> None:
 def _bounds_may_match(bounds, op, val) -> bool:
     """Can any value in [lo, hi] satisfy ``op val``? Conservative: an
     incomparable type (or any surprise) keeps the file. Parquet min/max
-    cover non-null values only, and every supported op is null-rejecting
-    (SQL comparison semantics), so pruning on these bounds is exact."""
-    lo, hi = bounds
+    cover non-null values only, and every comparison op is null-
+    rejecting (SQL comparison semantics), so pruning on those bounds is
+    exact. Extended entries carry ``[lo, hi, null_count, num_rows]``
+    (``lo``/``hi`` may be None for all-null or unsafe-bounds files):
+    ``is_null`` skips files with provably zero nulls, ``not_null``
+    skips all-null files, and comparison ops skip all-null files even
+    without min/max."""
+    lo, hi = bounds[0], bounds[1]
+    nulls, nrows = (bounds[2], bounds[3]) if len(bounds) >= 4 else (None, None)
+    if op == "is_null":
+        return nulls != 0  # skip only on a proven zero null count
+    if op == "not_null":
+        return not (nulls is not None and nulls == nrows)
+    if lo is None or hi is None:
+        # no usable min/max: comparison ops still refute all-null files
+        return not (nulls is not None and nulls == nrows)
     try:
         if op in ("=", "=="):
             return lo <= val <= hi
@@ -123,6 +140,10 @@ def _where_to_column(where) -> F.Column:
             e = c >= F.lit(val)
         elif op == "in":
             e = c.isin(*list(val))
+        elif op == "is_null":
+            e = c.isNull()
+        elif op == "not_null":
+            e = c.isNotNull()
         else:  # between
             e = c.between(F.lit(val[0]), F.lit(val[1]))
         cond = e if cond is None else cond & e
@@ -1072,7 +1093,10 @@ class LakeTable:
         return self._collect_file_stats_multi(bucket_files, [column])[column]
 
     def _collect_file_stats_multi(
-        self, bucket_files: dict[str, list[str]], columns: list[str]
+        self,
+        bucket_files: dict[str, list[str]],
+        columns: list[str],
+        null_counts_for: list[str] | None = None,
     ) -> dict[str, dict[str, list]]:
         """Per-file [min, max] of each of ``columns`` from parquet footer
         statistics, opening EVERY footer exactly ONCE (a commit needs
@@ -1084,9 +1108,18 @@ class LakeTable:
         sibling files; LSN bounds prove delta/base disjointness for the
         fast MoR resolve. (Parquet truncates very long binary stats;
         keys here are short ids — a deployment with long keys should
-        compare against the truncated max as a prefix upper bound.)"""
+        compare against the truncated max as a prefix upper bound.)
+
+        Columns in ``null_counts_for`` (the declared stats columns; key
+        and LSN are never null) get extended ``[lo, hi, null_count,
+        num_rows]`` entries from the SAME footer pass — including
+        ``[None, None, nc, nr]`` for files whose min/max are absent or
+        non-JSON-safe but whose null count is known, so an all-null
+        file is skippable by every null-rejecting predicate and
+        ``is_null``/``not_null`` prune on the counts."""
         import pyarrow.parquet as pq
 
+        with_nulls = set(null_counts_for or ())
         out: dict[str, dict[str, list]] = {c: {} for c in columns}
         for rels in bucket_files.values():
             for rel in rels:
@@ -1101,29 +1134,59 @@ class LakeTable:
                         if idx < 0:
                             continue
                         lo = hi = None
+                        minmax_ok = True
+                        nulls: int | None = 0
+                        nrows = 0
                         for rg in range(md.num_row_groups):
-                            st = md.row_group(rg).column(idx).statistics
-                            if st is None or not st.has_min_max:
-                                lo = hi = None
-                                break
-                            lo = st.min if lo is None else min(lo, st.min)
-                            hi = st.max if hi is None else max(hi, st.max)
+                            rgm = md.row_group(rg)
+                            nrows += rgm.num_rows
+                            st = rgm.column(idx).statistics
+                            if st is None:
+                                minmax_ok = False
+                                nulls = None
+                                continue
+                            if nulls is not None and st.has_null_count:
+                                nulls += st.null_count
+                            else:
+                                nulls = None
+                            if st.has_min_max:
+                                lo = st.min if lo is None else min(lo, st.min)
+                                hi = st.max if hi is None else max(hi, st.max)
+                            elif not (
+                                st.has_null_count
+                                and st.null_count == rgm.num_rows
+                            ):
+                                # missing min/max on a row group with
+                                # non-null values: bounds unusable
+                                # (an all-null row group legitimately
+                                # has none and doesn't widen them)
+                                minmax_ok = False
                         # JSON-safety gate: pyarrow returns raw typed
                         # stats (bytes / timestamps / decimals for such
                         # columns), which would blow up json.dump at
                         # manifest-write time — OUTSIDE this try/except —
                         # and fail the commit. Stats are an optimization:
-                        # skip the file unless both bounds are plain JSON
+                        # drop the bounds unless both are plain JSON
                         # scalars that also compare consistently at read
                         # time.
-                        if (
-                            lo is not None
+                        if not (
+                            minmax_ok
+                            and lo is not None
                             and all(
                                 isinstance(v, (int, float, str))
                                 and not isinstance(v, bool)
                                 for v in (lo, hi)
                             )
                         ):
+                            lo = hi = None
+                        if column in with_nulls:
+                            if lo is not None and nulls is not None:
+                                out[column][rel] = [lo, hi, nulls, nrows]
+                            elif nulls is not None:
+                                out[column][rel] = [None, None, nulls, nrows]
+                            elif lo is not None:
+                                out[column][rel] = [lo, hi]
+                        elif lo is not None:
                             out[column][rel] = [lo, hi]
                     except Exception:
                         continue

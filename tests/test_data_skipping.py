@@ -214,7 +214,7 @@ def test_sorted_sized_compaction_makes_stats_disjoint(spark, tmp_path):
     assert n_files > 1  # the sized rewrite actually split the bucket
     cstats = tbl.manifest.get("col_stats", {}) or {}
     bounds = sorted(
-        tuple(cstats[r]["score"])
+        tuple(cstats[r]["score"][:2])
         for fs in tbl.manifest["files"].values()
         for r in fs
     )
@@ -255,12 +255,64 @@ def test_time_travel_reads_skip_with_historical_stats(seeded, spark):
     assert rep_past["kept_files"] == 1 and rep_past["skipped_files"] > 0
 
 
+def test_null_count_stats_prune_null_predicates(spark, tmp_path):
+    # one conv per bucket-ish: NULL-score convs produce all-null files,
+    # valued convs zero-null files; mixed files (hash collisions) stay
+    # unskippable in BOTH directions — the asserts derive expectations
+    # from the persisted counts, so they hold under any bucket layout
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "lake"), SCHEMA, ["conv_id", "turn_idx"], 16,
+        stats_cols=["score"],
+    )
+    rows = [(f"null-{i}", t, None, "I") for i in range(3) for t in range(4)]
+    rows += [(f"val-{i}", t, 100 * i + t, "I") for i in range(3) for t in range(4)]
+    _merge(tbl, spark, rows, "seed", 1)
+
+    cstats = tbl.manifest.get("col_stats", {}) or {}
+    all_files = [r for fs in tbl.manifest["files"].values() for r in fs]
+    ents = {r: cstats[r]["score"] for r in all_files}
+    assert all(len(e) == 4 for e in ents.values())  # nulls from the same pass
+    all_null = {r for r, e in ents.items() if e[2] == e[3]}
+    no_null = {r for r, e in ents.items() if e[2] == 0}
+    assert all_null and no_null  # the layout produced both file classes
+    assert all(e[:2] == [None, None] for r, e in ents.items() if r in all_null)
+
+    rep = tbl.prune_report([("score", "is_null", None)])
+    assert rep["skipped_files"] == len(no_null)
+    assert tbl.read(where=[("score", "is_null", None)]).count() == 12
+
+    rep = tbl.prune_report([("score", "not_null", None)])
+    assert rep["skipped_files"] == len(all_null)
+    assert tbl.read(where=[("score", "not_null", None)]).count() == 12
+
+    # comparison predicates refute all-null files even without min/max
+    rep = tbl.prune_report([("score", ">=", 0)])
+    assert rep["skipped_files"] >= len(all_null)
+    assert tbl.read(where=[("score", ">=", 0)]).count() == 12
+
+
+def test_bounds_may_match_null_vocabulary():
+    from gene_etl_spark.lake.table import _bounds_may_match as m
+
+    assert m([1, 5], "is_null", None)  # legacy entry: no null info -> keep
+    assert m([1, 5], "not_null", None)
+    assert not m([1, 5, 0, 10], "is_null", None)  # proven zero nulls -> skip
+    assert m([1, 5, 2, 10], "is_null", None)
+    assert m([1, 5, 2, 10], "not_null", None)
+    assert not m([None, None, 10, 10], "not_null", None)  # all-null -> skip
+    assert not m([None, None, 10, 10], ">=", 3)  # null-rejecting op, all null
+    assert m([None, None, 4, 10], ">=", 3)  # bounds unknown, rows exist -> keep
+    assert m([1, 5, 10, 10], "is_null", None)
+
+
 def test_where_validation_errors(seeded):
     for bad in (
         [("score", "!=", 1)],
         [("score", "in", 5)],
         [("score", "between", (1,))],
         [("score", "=")],
+        [("score", "is_null", 5)],
+        [("score", "not_null", 0)],
     ):
         with pytest.raises(ValueError):
             seeded.prune_report(bad)
