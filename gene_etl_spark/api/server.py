@@ -559,6 +559,27 @@ class ApiServer:
         staged = wap.list_staged(self._lake())
         return {"staged": staged, "count": len(staged)}
 
+    def handle_lake_prune_report(self, body: dict | None) -> dict:
+        """Data-skipping dry-run: how many base files the persisted
+        column metrics keep vs skip for a ``where`` conjunction —
+        metadata-only (one piece load per bucket, zero data I/O), scoped
+        to the server's configured lake like every lake endpoint."""
+        body = body or {}
+        where = body.get("where")
+        if not isinstance(where, list) or not where:
+            raise ApiError(
+                400, {"error": "Body must carry 'where': [[col, op, value], ...]"}
+            )
+        # JSON has no tuples: 'between' pairs arrive as 2-element lists,
+        # which _validate_where accepts; is_null/not_null carry null
+        try:
+            rep = self._lake().prune_report(
+                [tuple(c) if isinstance(c, list) else c for c in where]
+            )
+        except ValueError as e:
+            raise ApiError(400, {"error": str(e)}) from None
+        return {"where": where, **rep}
+
     # ------------------------------------------------------------------ #
     def _make_handler(self):
         server = self
@@ -647,6 +668,11 @@ class ApiServer:
                     },
                     "/api/v1/lake/staged": {
                         "GET": lambda: server.handle_lake_staged(params)
+                    },
+                    "/api/v1/lake/prune-report": {
+                        "POST": lambda: server.handle_lake_prune_report(
+                            self._body()
+                        )
                     },
                 }
                 handlers = table.get(route)

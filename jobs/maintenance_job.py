@@ -80,6 +80,16 @@ def main() -> None:
     g.add_argument("--version", type=int, default=None)
     g.add_argument("--tag", default=None)
 
+    p = sub.add_parser(
+        "prune-report",
+        help="data-skipping dry-run: files kept vs skipped for a predicate",
+    )
+    p.add_argument(
+        "--where", required=True,
+        help='JSON conjunction, e.g. \'[["score", ">=", 100],'
+        ' ["tool", "not_null", null]]\'',
+    )
+
     args = ap.parse_args()
 
     from gene_etl_spark.lake import maintenance
@@ -117,6 +127,10 @@ def main() -> None:
         out = {"table": args.table, "tags": maintenance.list_tags(table)}
     elif args.cmd == "rollback":
         out = maintenance.rollback(table, version=args.version, tag_name=args.tag)
+    elif args.cmd == "prune-report":
+        where = [tuple(c) for c in json.loads(args.where)]
+        out = {"table": args.table, "where": json.loads(args.where),
+               **table.prune_report(where)}
     else:  # snapshots
         rows = [
             {

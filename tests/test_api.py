@@ -322,3 +322,25 @@ def test_lake_snapshots_tags_and_staged(api):
 
     status, out = _call("GET", api.url + "/api/v1/lake/staged")
     assert status == 200 and out["staged"] == {}
+
+    # data-skipping dry-run: metadata-only, scoped to the configured lake
+    status, out = _call(
+        "POST", api.url + "/api/v1/lake/prune-report",
+        {"where": [["conv_id", ">=", "conv_000000"]]},
+    )
+    assert status == 200
+    n_files = out["kept_files"] + out["skipped_files"]
+    assert n_files + out["unprunable_dirty_files"] > 0
+    # undeclared stats column: conservative (every clean file kept)
+    status, out2 = _call(
+        "POST", api.url + "/api/v1/lake/prune-report",
+        {"where": [["tool", "not_null", None]]},
+    )
+    assert status == 200 and out2["kept_files"] == n_files
+    status, out = _call(
+        "POST", api.url + "/api/v1/lake/prune-report",
+        {"where": [["conv_id", "!=", "x"]]},
+    )
+    assert status == 400 and "unsupported where op" in out["error"]
+    status, out = _call("POST", api.url + "/api/v1/lake/prune-report", {})
+    assert status == 400
