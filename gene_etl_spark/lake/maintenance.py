@@ -240,6 +240,58 @@ def zorder_expr(
     return reduce(lambda a, b: a.bitwiseOR(b), terms)
 
 
+def _validate_cluster(cluster: str, sort_cols: list[str] | None) -> None:
+    if cluster not in ("lex", "zorder"):
+        raise ValueError(f"cluster must be 'lex' or 'zorder', got {cluster!r}")
+    if cluster == "zorder":
+        if not sort_cols:
+            raise ValueError("cluster='zorder' requires sort_cols")
+        if len(sort_cols) < 2:
+            raise ValueError("zorder needs >= 2 cluster columns (1 is a plain sort)")
+
+
+def _clustered_write(
+    df: DataFrame,
+    abs_commit: str,
+    base_tasks: int,
+    in_bytes: int | None,
+    target_file_size_bytes: int | None,
+    sort_cols: list[str] | None,
+    cluster: str,
+    zorder_bits: int,
+    default_sort_col: str,
+) -> None:
+    """Shared rewrite layout for compact/rebucket: hash one-file-per-
+    bucket by default; with a size target or sort columns, range-slice
+    + sort by the clustering order (lexicographic, or the z-order
+    Morton key) so per-file stats bounds stay selective at any file
+    count."""
+    zcol = "_zorder_key"
+    if target_file_size_bytes or sort_cols:
+        if cluster == "zorder":
+            df = df.withColumn(zcol, zorder_expr(df, sort_cols, zorder_bits))
+            order = [F.col(BUCKET_COL), F.col(zcol)]
+        else:
+            order = [F.col(BUCKET_COL)] + [
+                F.col(c) for c in (sort_cols or [default_sort_col])
+            ]
+        n_tasks = max(base_tasks, 1)
+        if target_file_size_bytes and in_bytes:
+            n_tasks = max(n_tasks, -(-in_bytes // target_file_size_bytes))
+        out = df.repartitionByRange(int(n_tasks), *order).sortWithinPartitions(
+            *order
+        )
+        if cluster == "zorder":
+            # narrow projection after the sort: row order within each
+            # task is preserved, the synthetic key never hits disk
+            out = out.drop(zcol)
+    else:
+        # hash on bucket alone: every row of a bucket lands in exactly
+        # one task, so the rewrite yields exactly one file per bucket
+        out = df.repartition(max(base_tasks, 1), F.col(BUCKET_COL))
+    out.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(abs_commit)
+
+
 def compact(
     table: LakeTable,
     max_files_per_bucket: int = 1,
@@ -280,13 +332,7 @@ def compact(
     lookups in multi-file buckets scan more than one file — choose per
     table whether point or analytical reads dominate. Costs one extra
     pass over the fragmented buckets (the quantile sketch)."""
-    if cluster not in ("lex", "zorder"):
-        raise ValueError(f"cluster must be 'lex' or 'zorder', got {cluster!r}")
-    if cluster == "zorder":
-        if not sort_cols:
-            raise ValueError("cluster='zorder' requires sort_cols")
-        if len(sort_cols) < 2:
-            raise ValueError("zorder needs >= 2 cluster columns (1 is a plain sort)")
+    _validate_cluster(cluster, sort_cols)
     manifest = table.manifest
     deltas = manifest.get("deltas", {}) or {}
     if buckets is not None:
@@ -309,47 +355,21 @@ def compact(
     version = manifest["version"] + 1
     rel_commit = table._new_commit_dir(version)
     abs_commit = os.path.join(table.path, rel_commit)
-    zcol = "_zorder_key"
-    if target_file_size_bytes or sort_cols:
-        if cluster == "zorder":
-            df = df.withColumn(zcol, zorder_expr(df, sort_cols, zorder_bits))
-            order = [F.col(BUCKET_COL), F.col(zcol)]
-        else:
-            order = [F.col(BUCKET_COL)] + [
-                F.col(c) for c in (sort_cols or [table.key_cols[0]])
-            ]
-        n_tasks = max(len(fragmented), 1)
-        if target_file_size_bytes:
-            files_map = manifest.get("files", {}) or {}
-            in_bytes = sum(
-                os.path.getsize(os.path.join(table.path, rel))
-                for b in fragmented
-                for rel in list(files_map.get(str(b), []) or [])
-                + list(deltas.get(str(b), []) or [])
-                if os.path.exists(os.path.join(table.path, rel))
-            )
-            n_tasks = max(n_tasks, -(-in_bytes // target_file_size_bytes))
-        out = df.repartitionByRange(int(n_tasks), *order).sortWithinPartitions(
-            *order
+    in_bytes = None
+    if target_file_size_bytes:
+        files_map = manifest.get("files", {}) or {}
+        in_bytes = sum(
+            os.path.getsize(os.path.join(table.path, rel))
+            for b in fragmented
+            for rel in list(files_map.get(str(b), []) or [])
+            + list(deltas.get(str(b), []) or [])
+            if os.path.exists(os.path.join(table.path, rel))
         )
-        if cluster == "zorder":
-            # narrow projection after the sort: row order within each
-            # task is preserved, the synthetic key never hits disk
-            out = out.drop(zcol)
-        (
-            out.write.partitionBy(BUCKET_COL)
-            .mode("overwrite")
-            .parquet(abs_commit)
-        )
-    else:
-        (
-            # hash on bucket alone: every row of a bucket lands in exactly
-            # one task, so compaction yields exactly one file per bucket
-            df.repartition(max(len(fragmented), 1), F.col(BUCKET_COL))
-            .write.partitionBy(BUCKET_COL)
-            .mode("overwrite")
-            .parquet(abs_commit)
-        )
+    _clustered_write(
+        df, abs_commit, len(fragmented), in_bytes,
+        target_file_size_bytes, sort_cols, cluster, zorder_bits,
+        table.key_cols[0],
+    )
     # overlays over the parent's lazy maps (compaction rides the ingest
     # loop via the threshold policy — it must not pay O(table) metadata):
     # rewritten buckets update, their deltas fold, the rest pointer-copies
@@ -400,7 +420,14 @@ def compact(
     }
 
 
-def rebucket(table: LakeTable, new_num_buckets: int) -> dict:
+def rebucket(
+    table: LakeTable,
+    new_num_buckets: int,
+    target_file_size_bytes: int | None = None,
+    sort_cols: list[str] | None = None,
+    cluster: str = "lex",
+    zorder_bits: int = ZORDER_BITS,
+) -> dict:
     """Partition-spec evolution: rewrite the table under a new bucket
     count (Iceberg's ``bucket(N, key)`` spec-change analogue) — the
     growth path when data outruns its layout (a table created at 8
@@ -416,9 +443,16 @@ def rebucket(table: LakeTable, new_num_buckets: int) -> dict:
     concurrent commit conflicts and the rebase refuses (safe). The CDC
     change feed spans a ``rebucket`` commit silently (no logical row
     changes), same as compaction — index consumers never notice.
+
+    ``target_file_size_bytes`` / ``sort_cols`` / ``cluster``: same
+    layout controls as ``compact`` — a spec evolution is already a
+    full-table rewrite, so clustering the new buckets in the SAME pass
+    costs one sort instead of a second rewrite (rebucket-then-compact
+    would read and write all 100 TB twice).
     """
     if new_num_buckets < 1:
         raise ValueError("new_num_buckets must be >= 1")
+    _validate_cluster(cluster, sort_cols)
     manifest = table.manifest
     if new_num_buckets == table.num_buckets:
         return {"rebucketed": False, "snapshot_version": manifest["version"]}
@@ -432,11 +466,21 @@ def rebucket(table: LakeTable, new_num_buckets: int) -> dict:
     version = manifest["version"] + 1
     rel_commit = table._new_commit_dir(version)
     abs_commit = os.path.join(table.path, rel_commit)
-    (
-        df.repartition(new_num_buckets, F.col(BUCKET_COL))
-        .write.partitionBy(BUCKET_COL)
-        .mode("overwrite")
-        .parquet(abs_commit)
+    in_bytes = None
+    if target_file_size_bytes:
+        files_map = manifest.get("files", {}) or {}
+        delta_map = manifest.get("deltas", {}) or {}
+        in_bytes = sum(
+            os.path.getsize(os.path.join(table.path, rel))
+            for m in (files_map, delta_map)
+            for b in m
+            for rel in (m[b] or [])
+            if os.path.exists(os.path.join(table.path, rel))
+        )
+    _clustered_write(
+        df, abs_commit, new_num_buckets, in_bytes,
+        target_file_size_bytes, sort_cols, cluster, zorder_bits,
+        table.key_cols[0],
     )
     bucket_files = table._list_bucket_files(abs_commit, rel_commit)
     stats_cols = [

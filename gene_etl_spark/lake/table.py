@@ -1356,9 +1356,18 @@ class LakeTable:
         is delta-free — then filter. At 10^10 rows a point query touches
         1/num_buckets of the files, usually a single file, and the key
         predicate then prunes row groups inside it."""
+        # cast the probe literal to the DECLARED key type before hashing:
+        # xxhash64 is type-sensitive (a python int becomes an Integer lit,
+        # which hashes differently from the Long the rows were bucketed
+        # as — the wrong bucket, silently, on any non-string key)
+        key_type = self.schema[self.key_cols[0]].dataType
         b = int(
             self.spark.range(1)
-            .select(bucket_of(F.lit(key_value), self.num_buckets).alias("b"))
+            .select(
+                bucket_of(
+                    F.lit(key_value).cast(key_type), self.num_buckets
+                ).alias("b")
+            )
             .collect()[0]["b"]
         )
         key0 = self.key_cols[0]

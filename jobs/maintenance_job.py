@@ -61,6 +61,12 @@ def main() -> None:
 
     p = sub.add_parser("rebucket", help="partition-spec evolution: new bucket count")
     p.add_argument("--num-buckets", type=int, required=True)
+    p.add_argument(
+        "--target-file-size-mb", type=int, default=None,
+        help="cluster the new layout in the same rewrite pass",
+    )
+    p.add_argument("--sort-by", default=None)
+    p.add_argument("--cluster", choices=("lex", "zorder"), default="lex")
 
     sub.add_parser("snapshots", help="list live snapshots (version, ts, operation)")
 
@@ -118,7 +124,17 @@ def main() -> None:
             table, dry_run=args.dry_run, older_than_sec=args.older_than_sec
         )
     elif args.cmd == "rebucket":
-        out = maintenance.rebucket(table, args.num_buckets)
+        out = maintenance.rebucket(
+            table,
+            args.num_buckets,
+            target_file_size_bytes=(
+                args.target_file_size_mb * 1024 * 1024
+                if args.target_file_size_mb
+                else None
+            ),
+            sort_cols=args.sort_by.split(",") if args.sort_by else None,
+            cluster=args.cluster,
+        )
     elif args.cmd == "tag":
         out = maintenance.tag(table, args.name, version=args.version)
     elif args.cmd == "drop-tag":

@@ -128,6 +128,32 @@ def test_zorder_content_parity_and_lookup(spark, tmp_path):
     assert [(r["x"], r["y"]) for r in got] == [(1234 // GRID, 1234 % GRID)]
 
 
+def test_rebucket_clusters_in_the_same_pass(spark, tmp_path):
+    # spec evolution + z-order layout in ONE rewrite: the 1->4 rebucket
+    # slices each new bucket by the Morton key, so both dimensions
+    # prune immediately — no follow-up compact needed
+    tbl = _seed(spark, str(tmp_path / "rz"))
+    mt.rebucket(
+        tbl, 4,
+        target_file_size_bytes=_sixteenth_target(tbl.path),
+        sort_cols=["x", "y"], cluster="zorder",
+    )
+    assert tbl.num_buckets == 4
+    total = tbl.prune_report([("x", ">=", 0)])
+    n_files = total["kept_files"] + total["skipped_files"]
+    assert n_files >= 8
+    for strip in (Y_STRIP, X_STRIP):
+        rep = tbl.prune_report(strip)
+        assert rep["kept_files"] < n_files, (strip, rep)
+        assert tbl.read(where=strip).count() == 8 * GRID
+    # content + lookup correctness under the new spec
+    assert tbl.read().count() == GRID * GRID + 1
+    got = tbl.lookup(1234).collect()
+    assert [(r["x"], r["y"]) for r in got] == [(1234 // GRID, 1234 % GRID)]
+    with pytest.raises(ValueError, match="requires sort_cols"):
+        mt.rebucket(tbl, 8, cluster="zorder")
+
+
 def test_zorder_validation(spark, tmp_path):
     tbl = _seed(spark, str(tmp_path / "v"))
     with pytest.raises(ValueError, match="requires sort_cols"):
