@@ -2,8 +2,9 @@
 under ANY interleaving of the operational surface.
 
 A seeded random walk over merge (CoW and MoR, inserts/updates/deletes),
-compact (one-file and sized+sorted), rollback (to random live
-versions), tag/drop-tag, expire_snapshots, zero-grace vacuum, and
+compact (one-file, sized+sorted, and z-order clustered), rollback (to
+random live versions), tag/drop-tag, expire_snapshots, zero-grace
+vacuum, and
 rebucket — after EVERY op the table read must equal a pure-python LWW
 model, and rollback targets replay the model state recorded when that
 snapshot committed. This is the interaction test for the round-5
@@ -142,12 +143,18 @@ def test_random_maintenance_walk_stays_oracle_exact(spark, workdir, seed):
                      f"n={len(rows)}")
                 )
             elif op == "compact":
-                if rng.random() < 0.5:
+                draw = rng.random()
+                if draw < 0.4:
                     out = mt.compact(t)
-                else:
+                elif draw < 0.7:
                     out = mt.compact(
                         t, target_file_size_bytes=16 * 1024,
                         sort_cols=["conv_id", "turn_idx"],
+                    )
+                else:
+                    out = mt.compact(
+                        t, target_file_size_bytes=16 * 1024,
+                        sort_cols=["turn_idx", "ts"], cluster="zorder",
                     )
                 history.append(("compact", str(out.get("compacted_buckets"))))
             elif op == "rollback":
