@@ -122,13 +122,19 @@ def _oracle_match(row, conj):
     return True
 
 
-def _check(tbl, truth, rng, n_preds, tag):
+def _check(tbl, truth, rng, n_preds, tag, version=None):
+    # version=N fuzzes the TIME-TRAVEL read path against a frozen truth
+    manifest = None if version is None else tbl._read_manifest(version)
     n_files_total = None
     for i in range(n_preds):
         conj = _rand_where(rng)
+        df = (
+            tbl.read(where=conj)
+            if manifest is None
+            else tbl.read(manifest=manifest, where=conj)
+        )
         got = sorted(
-            (r["doc_id"], r["score"], r["weight"])
-            for r in tbl.read(where=conj).collect()
+            (r["doc_id"], r["score"], r["weight"]) for r in df.collect()
         )
         want = sorted(
             (r["doc_id"], r["score"], r["weight"])
@@ -136,7 +142,7 @@ def _check(tbl, truth, rng, n_preds, tag):
             if _oracle_match(r, conj)
         )
         assert got == want, (tag, i, conj)
-        rep = tbl.prune_report(conj)
+        rep = tbl.prune_report(conj, manifest=manifest)
         total = (
             rep["kept_files"] + rep["skipped_files"]
             + rep["unprunable_dirty_files"]
@@ -174,6 +180,7 @@ def test_where_fuzz_across_table_states(spark, tmp_path, seed):
     for r in upd:
         truth[r[0]] = {"doc_id": r[0], "part": r[1], "score": r[2], "weight": r[3]}
     v_mor = tbl.version
+    truth_at_mor = {k: dict(v) for k, v in truth.items()}
     _check(tbl, truth, rng, 30, "mor")
 
     # z-order compaction folds the deltas and re-slices stats
@@ -182,6 +189,9 @@ def test_where_fuzz_across_table_states(spark, tmp_path, seed):
         sort_cols=["score", "weight"], cluster="zorder",
     )
     _check(tbl, truth, rng, 30, "zorder")
+    # time-travel fuzz: the historical manifest's own stats prune the
+    # same way a live read would have at that version
+    _check(tbl, truth_at_mor, rng, 15, "travel", version=v_mor)
 
     # rollback restores pre-compaction content; stats must follow
     mt.rollback(tbl, v_mor)
