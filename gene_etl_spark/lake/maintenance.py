@@ -181,10 +181,15 @@ def zorder_expr(
     expression is a pure row-local function — whole-stage codegen,
     no shuffle, no UDF.
 
-    Columns must be numeric or timestamp (rank needs an order that a
-    driver-side quantile sketch can capture); NULLs rank 0 and cluster
-    together in the low corner. Quantile-duplicate boundaries (heavy
-    hitters) collapse cells — monotonicity is preserved.
+    Numeric/timestamp/date columns rank on their values; string columns
+    rank on an order-preserving 6-character prefix radix encoding (each
+    codepoint clamped to 255, radix 256 — exact in double space). The
+    encoding only shapes LAYOUT, never results: per-file bounds are
+    always computed from the real values, so an exotic-unicode tie or
+    shared-prefix collapse costs selectivity, not correctness. NULLs
+    rank 0 and cluster together in the low corner. Quantile-duplicate
+    boundaries (heavy hitters) collapse cells — monotonicity is
+    preserved.
     """
     from functools import reduce
 
@@ -199,11 +204,17 @@ def zorder_expr(
         dtype = df.schema[c].dataType
         if not isinstance(
             dtype,
-            (T.NumericType, T.TimestampType, T.TimestampNTZType, T.DateType),
+            (
+                T.NumericType,
+                T.TimestampType,
+                T.TimestampNTZType,
+                T.DateType,
+                T.StringType,
+            ),
         ):
             raise ValueError(
                 f"zorder column {c!r} has unorderable-for-quantiles type "
-                f"{dtype.simpleString()}; numeric/timestamp/date only"
+                f"{dtype.simpleString()}; numeric/timestamp/date/string only"
             )
         num = F.col(c)
         if isinstance(dtype, T.DateType):
@@ -212,6 +223,20 @@ def zorder_expr(
             # no direct ntz->double cast; the session is pinned UTC so
             # the tz-reinterpretation is the identity
             num = num.cast("timestamp")
+        elif isinstance(dtype, T.StringType):
+            num = reduce(
+                lambda a, b: a + b,
+                [
+                    F.coalesce(
+                        F.least(
+                            F.ascii(F.substring(num, i + 1, 1)), F.lit(255)
+                        ),
+                        F.lit(0),
+                    ).cast("double")
+                    * float(256 ** (5 - i))
+                    for i in range(6)
+                ],
+            )
         num = num.cast("double")
         nums.append(num)
     n_cells = 1 << bits_per_dim

@@ -154,6 +154,50 @@ def test_rebucket_clusters_in_the_same_pass(spark, tmp_path):
         mt.rebucket(tbl, 8, cluster="zorder")
 
 
+def test_zorder_string_dimension(spark, tmp_path):
+    # strings rank via the order-preserving prefix encoding: clustering
+    # on (s, y) must make BOTH the string and the numeric bounds
+    # selective; correctness never depends on the encoding (bounds are
+    # real values, predicate re-applied as residual)
+    sch = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("y", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "zs"), sch, ["k"], 1, stats_cols=["s", "y"]
+    )
+    letters = "abcdefghijklmnop"
+    rows = [
+        (f"{ch}{j:03d}", f"{ch}-name", j, dt.datetime(2026, 1, 1), i + 1, "I")
+        for i, (ch, j) in enumerate(
+            (ch, j) for ch in letters for j in range(64)
+        )
+    ]
+    upd = spark.createDataFrame(
+        rows, "k string, s string, y long, ts timestamp, _lsn long, _op string"
+    )
+    tbl.merge(upd, batch_id="seed", op_col="_op", lsn_col="_lsn",
+              start_lsn=1, end_lsn=len(rows) + 1)
+    mt.compact(
+        tbl, target_file_size_bytes=_sixteenth_target(tbl.path),
+        sort_cols=["s", "y"], cluster="zorder",
+    )
+    total = tbl.prune_report([("y", ">=", 0)])
+    n_files = total["kept_files"] + total["skipped_files"]
+    assert n_files >= 8
+    for strip, n_rows in (
+        ([("s", "between", ("a", "b~"))], 2 * 64),  # letters a, b
+        ([("y", "between", (0, 7))], 8 * len(letters)),
+    ):
+        rep = tbl.prune_report(strip)
+        assert 0 < rep["kept_files"] <= n_files // 2, (strip, rep)
+        assert tbl.read(where=strip).count() == n_rows
+
+
 def test_zorder_validation(spark, tmp_path):
     tbl = _seed(spark, str(tmp_path / "v"))
     with pytest.raises(ValueError, match="requires sort_cols"):
@@ -162,8 +206,8 @@ def test_zorder_validation(spark, tmp_path):
         mt.compact(tbl, sort_cols=["x", "y"], cluster="hilbert")
     with pytest.raises(ValueError, match=">= 2 cluster columns"):
         mt.compact(tbl, sort_cols=["x"], cluster="zorder")
-    df = tbl.read().withColumn("s", F.lit("a"))
+    df = tbl.read().withColumn("arr", F.array(F.col("x")))
     with pytest.raises(ValueError, match="unorderable"):
-        mt.zorder_expr(df, ["x", "s"])
+        mt.zorder_expr(df, ["x", "arr"])
     with pytest.raises(ValueError, match="exceed a long"):
         mt.zorder_expr(df, ["x", "y"], bits_per_dim=31)
