@@ -26,12 +26,15 @@ SCHEMA = T.StructType(
         T.StructField("part", T.IntegerType()),
         T.StructField("score", T.LongType()),
         T.StructField("weight", T.DoubleType()),
+        T.StructField("tag", T.StringType()),
         T.StructField("ts", T.TimestampType()),
     ]
 )
 
 OPS = ("=", "<", "<=", ">", ">=", "in", "between", "is_null", "not_null")
-COLS = ("score", "weight", "doc_id")  # doc_id = key col -> file_stats path
+# doc_id = key col -> file_stats path; tag -> string col_stats path
+COLS = ("score", "weight", "doc_id", "tag")
+TAGS = [f"t{chr(97 + i)}{i:02d}" for i in range(24)]
 
 
 def _rows(rng, n, null_rate):
@@ -39,15 +42,18 @@ def _rows(rng, n, null_rate):
     for i in range(n):
         score = None if rng.random() < null_rate else rng.randrange(-500, 5000)
         weight = None if rng.random() < null_rate else round(rng.uniform(-2, 2), 3)
-        out.append((f"doc-{i:04d}", i % 7, score, weight, dt.datetime(2026, 1, 1)))
+        tag = None if rng.random() < null_rate else rng.choice(TAGS)
+        out.append(
+            (f"doc-{i:04d}", i % 7, score, weight, tag, dt.datetime(2026, 1, 1))
+        )
     return out
 
 
 def _merge(tbl, spark, rows, bid, lsn0, op="I", mode="cow"):
     upd = spark.createDataFrame(
         [r + (lsn0 + i, op) for i, r in enumerate(rows)],
-        "doc_id string, part int, score long, weight double, ts timestamp,"
-        " _lsn long, _op string",
+        "doc_id string, part int, score long, weight double, tag string,"
+        " ts timestamp, _lsn long, _op string",
     )
     return tbl.merge(
         upd, batch_id=bid, op_col="_op", lsn_col="_lsn",
@@ -60,7 +66,18 @@ def _rand_where(rng):
     for _ in range(rng.choice([1, 1, 1, 2])):
         col = rng.choice(COLS)
         op = rng.choice(OPS)
-        if col == "doc_id":
+        if col == "tag":
+            pick = lambda: rng.choice(TAGS + ["s00", "zz", "ta05"])
+            if op in ("is_null", "not_null"):
+                val = None
+            elif op == "in":
+                val = [pick() for _ in range(3)]
+            elif op == "between":
+                a, b = pick(), pick()
+                val = tuple(sorted((a, b)))
+            else:
+                val = pick()
+        elif col == "doc_id":
             # string domain incl. non-existent + boundary values
             v = f"doc-{rng.randrange(-3, 1203):04d}"
             if op in ("is_null", "not_null"):
@@ -157,11 +174,12 @@ def test_where_fuzz_across_table_states(spark, tmp_path, seed):
     rng = random.Random(seed)
     tbl = LakeTable.create(
         spark, str(tmp_path / f"lake{seed}"), SCHEMA, ["doc_id"], 8,
-        stats_cols=["score", "weight"],
+        stats_cols=["score", "weight", "tag"],
     )
     rows = _rows(rng, 300, null_rate=0.15)
     truth = {
-        r[0]: {"doc_id": r[0], "part": r[1], "score": r[2], "weight": r[3]}
+        r[0]: {"doc_id": r[0], "part": r[1], "score": r[2], "weight": r[3],
+               "tag": r[4]}
         for r in rows
     }
     _merge(tbl, spark, rows, "seed", 1)
@@ -173,12 +191,14 @@ def test_where_fuzz_across_table_states(spark, tmp_path, seed):
         (d, truth[d]["part"],
          None if rng.random() < 0.3 else rng.randrange(-500, 5000),
          rng.uniform(-2, 2) if rng.random() < 0.5 else None,
+         rng.choice(TAGS) if rng.random() < 0.5 else None,
          dt.datetime(2026, 1, 2))
         for d in rng.sample(sorted(truth), 60)
     ]
     _merge(tbl, spark, upd, "mor", 1000, op="U", mode="mor")
     for r in upd:
-        truth[r[0]] = {"doc_id": r[0], "part": r[1], "score": r[2], "weight": r[3]}
+        truth[r[0]] = {"doc_id": r[0], "part": r[1], "score": r[2],
+                       "weight": r[3], "tag": r[4]}
     v_mor = tbl.version
     truth_at_mor = {k: dict(v) for k, v in truth.items()}
     _check(tbl, truth, rng, 30, "mor")
@@ -186,7 +206,7 @@ def test_where_fuzz_across_table_states(spark, tmp_path, seed):
     # z-order compaction folds the deltas and re-slices stats
     mt.compact(
         tbl, target_file_size_bytes=4096,
-        sort_cols=["score", "weight"], cluster="zorder",
+        sort_cols=["tag", "score", "weight"], cluster="zorder",
     )
     _check(tbl, truth, rng, 30, "zorder")
     # time-travel fuzz: the historical manifest's own stats prune the
