@@ -435,6 +435,13 @@ def compact(
             "operation": "compact",
             "total_rows": manifest["summary"].get("total_rows"),
             "compacted_buckets": fragmented,
+            # layout lineage: which clustering produced these files
+            # (Iceberg sort-order metadata analogue, informational)
+            **(
+                {"clustering": {"cols": list(sort_cols), "mode": cluster}}
+                if sort_cols
+                else {}
+            ),
         },
         "committed_at_ms": int(time.time() * 1000),
     }
@@ -533,6 +540,11 @@ def rebucket(
             "total_rows": manifest["summary"].get("total_rows"),
             "from_num_buckets": manifest["num_buckets"],
             "to_num_buckets": new_num_buckets,
+            **(
+                {"clustering": {"cols": list(sort_cols), "mode": cluster}}
+                if sort_cols
+                else {}
+            ),
             # rebucket rewrites everything: advertise the touched set so
             # a racing CoW loser's overlap check fires (the num_buckets
             # rebase guard is the primary fence; this is belt-and-braces)

@@ -95,6 +95,10 @@ def test_zorder_prunes_every_clustered_dimension(spark, tmp_path):
     total = tbl.prune_report([("x", ">=", 0)])
     n_files = total["kept_files"] + total["skipped_files"]
     assert n_files >= 8  # the sized rewrite actually split the bucket
+    # layout lineage recorded on the commit (sort-order metadata)
+    assert tbl.manifest["summary"]["clustering"] == {
+        "cols": ["x", "y"], "mode": "zorder",
+    }
     for strip in (Y_STRIP, X_STRIP):
         rep = tbl.prune_report(strip)
         assert rep["kept_files"] + rep["skipped_files"] == n_files
