@@ -248,6 +248,11 @@ def zorder_expr(
     )
     nd = len(cols)
     terms = []
+    # bit placement: dim 0 (the FIRST cluster column) owns the most
+    # significant bit within each rank-bit group, so coarse slicing
+    # (top z-bits) splits the leading columns first — the lex-order
+    # intuition, and what makes few-slices-per-bucket layouts prune the
+    # columns the user named first
     for d, (num, bs) in enumerate(zip(nums, bounds)):
         # 0..n_cells-1 rank: count of cell boundaries at or below the value
         rank = (
@@ -260,7 +265,10 @@ def zorder_expr(
         )
         for k in range(bits_per_dim):
             terms.append(
-                F.shiftleft(F.shiftright(rank, k).bitwiseAND(F.lit(1)), k * nd + d)
+                F.shiftleft(
+                    F.shiftright(rank, k).bitwiseAND(F.lit(1)),
+                    k * nd + (nd - 1 - d),
+                )
             )
     return reduce(lambda a, b: a.bitwiseOR(b), terms)
 
@@ -293,23 +301,49 @@ def _clustered_write(
     count."""
     zcol = "_zorder_key"
     if target_file_size_bytes or sort_cols:
+        n_tasks = max(base_tasks, 1)
+        if target_file_size_bytes and in_bytes:
+            n_tasks = max(n_tasks, -(-in_bytes // target_file_size_bytes))
         if cluster == "zorder":
+            # Slice WITHIN each bucket at identical z-boundaries — the
+            # top bits of the Morton key (uniform by construction: they
+            # are quantile-rank bits). Range-slicing on (bucket, z)
+            # directly would land almost every sampled boundary ON a
+            # bucket edge once buckets outnumber slices-per-bucket, so
+            # each bucket collapses to one full-range file and the
+            # selectivity this layout exists for disappears (measured:
+            # 8 buckets x 1M rows -> every strip predicate kept 15/15
+            # files). Aligned top-bit slices keep every bucket cut the
+            # same way with zero extra passes.
             df = df.withColumn(zcol, zorder_expr(df, sort_cols, zorder_bits))
-            order = [F.col(BUCKET_COL), F.col(zcol)]
+            total_bits = zorder_bits * len(sort_cols)
+            want = -(-int(n_tasks) // max(base_tasks, 1))
+            s_bits = min(max(want - 1, 0).bit_length(), total_bits)
+            zslice = "_zorder_slice"
+            df = df.withColumn(
+                zslice,
+                F.shiftright(F.col(zcol), total_bits - s_bits)
+                if s_bits
+                else F.lit(0),
+            )
+            out = (
+                df.repartitionByRange(
+                    max(base_tasks, 1) << s_bits,
+                    F.col(BUCKET_COL),
+                    F.col(zslice),
+                )
+                .sortWithinPartitions(F.col(BUCKET_COL), F.col(zcol))
+                # narrow projection after the sort: row order within
+                # each task is preserved, synthetic keys never hit disk
+                .drop(zcol, zslice)
+            )
         else:
             order = [F.col(BUCKET_COL)] + [
                 F.col(c) for c in (sort_cols or [default_sort_col])
             ]
-        n_tasks = max(base_tasks, 1)
-        if target_file_size_bytes and in_bytes:
-            n_tasks = max(n_tasks, -(-in_bytes // target_file_size_bytes))
-        out = df.repartitionByRange(int(n_tasks), *order).sortWithinPartitions(
-            *order
-        )
-        if cluster == "zorder":
-            # narrow projection after the sort: row order within each
-            # task is preserved, the synthetic key never hits disk
-            out = out.drop(zcol)
+            out = df.repartitionByRange(int(n_tasks), *order).sortWithinPartitions(
+                *order
+            )
     else:
         # hash on bucket alone: every row of a bucket lands in exactly
         # one task, so the rewrite yields exactly one file per bucket
