@@ -518,6 +518,7 @@ class ApiServer:
                 "committed_at_ms": m.get("committed_at_ms"),
                 "operation": (m.get("summary") or {}).get("operation"),
                 "batch_id": (m.get("properties") or {}).get("batch_id"),
+                "clustering": (m.get("summary") or {}).get("clustering"),
                 "live": os.path.exists(table._manifest_path(m["version"])),
             }
             for m in table.history()

@@ -153,6 +153,7 @@ def main() -> None:
                 "version": m["version"],
                 "committed_at_ms": m.get("committed_at_ms"),
                 "operation": (m.get("summary") or {}).get("operation"),
+                "clustering": (m.get("summary") or {}).get("clustering"),
                 "live": os.path.exists(table._manifest_path(m["version"])),
             }
             for m in table.history()
