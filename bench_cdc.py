@@ -97,16 +97,31 @@ def main() -> None:
     # (this machine shows ±30% draws under co-tenancy) is visible and
     # attributable to a phase rather than living in prose. A batch is
     # flagged stalled when its wall exceeds 1.5× the steady-state median.
+    #
+    # `per_batch` is forwarded verbatim into bench.py's ONE-line JSON,
+    # whose consumer keeps only the LAST 2000 chars of stdout — round
+    # 6's line outgrew that window because each entry carried a phases
+    # dict, and the truncated line no longer parsed (BENCH_r06.json
+    # "parsed": null despite rc 0). Keep per_batch compact; the phase
+    # breakdown rides in the sibling `per_batch_phases` key, which
+    # bench.py does NOT forward (it stays in this process's stdout and
+    # the --json sidecar).
     per_batch = [
         {
             "batch": i,
-            "events": b["events_read"],
             "wall_sec": round(b["wall_ms"] / 1000.0, 3),
+            "warmup": i < 2,
+        }
+        for i, b in enumerate(batches)
+    ]
+    per_batch_phases = [
+        {
+            "batch": i,
+            "events": b["events_read"],
             "ev_per_sec": round(b["events_read"] / (b["wall_ms"] / 1000.0), 1)
             if b["wall_ms"]
             else 0.0,
             "phases": b.get("phases") or {},
-            "warmup": i < 2,
         }
         for i, b in enumerate(batches)
     ]
@@ -131,6 +146,7 @@ def main() -> None:
         "ss_batch_wall_mean_sec": mean_wall,
         "ss_phase_means_sec": phase_means,
         "per_batch": per_batch,
+        "per_batch_phases": per_batch_phases,
         "ss_batch_wall_median_sec": median,
         "stalled_batches": stalled,
     }
