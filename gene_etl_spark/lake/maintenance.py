@@ -903,7 +903,17 @@ def prune_tombstones(
                 TOMBSTONE_DIR,
                 f"d-pruned-{_uuid.uuid4().hex[:8]}",
             )
-            folded.coalesce(1).write.mode("overwrite").parquet(out)
+            # Range-sliced rewrite, sized from the journal's on-disk
+            # bytes: one coalesce(1) task over an unboundedly grown
+            # journal was the scale hole; slicing on _lsn additionally
+            # gives the rewritten files disjoint LSN bounds, so the
+            # merge guard's footer prune keeps skipping them file-by-
+            # file as the high-water mark advances.
+            n_out = max(1, min(1024, table.tombstone_bytes() // (64 << 20)))
+            w = folded
+            if n_out > 1:
+                w = folded.repartitionByRange(n_out, F.col("_lsn"))
+            w.write.mode("overwrite").parquet(out)
     finally:
         folded.unpersist()
     for d in dirs:  # captured before the folded write — never sweeps it

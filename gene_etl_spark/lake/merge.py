@@ -41,6 +41,13 @@ from pyspark.storagelevel import StorageLevel
 
 BUCKET_COL = "bucket_id"
 
+# Guard-side journal broadcast cutoff — mirrors the 32 MB delta cutoff
+# the MoR fast resolve uses (table.py): below it the folded per-key max
+# comfortably fits every executor; above it broadcasting an unboundedly
+# grown journal risks OOM in the hot apply path, so the guard joins by
+# shuffle instead.
+TOMBSTONE_BROADCAST_MAX_BYTES = 32 * 1024 * 1024
+
 
 def _tombstone_guard(
     table, upd: DataFrame, key_cols, op_col, lsn_col, ts_col, start_lsn
@@ -54,8 +61,18 @@ def _tombstone_guard(
     every delete's (key, lsn, ts); strictness mirrors ``u_wins`` (an
     equal-(lsn, ts) event is the same event — a replayed delete resolves
     to a no-op, never a resurrect). Reads only tombstones with
-    ``_lsn > start_lsn`` — for in-order slices parquet min/max pushdown
-    prunes the whole journal, so the guard costs one listdir."""
+    ``_lsn > start_lsn`` — for in-order slices the cached footer bounds
+    prove the journal irrelevant driver-side, so the guard costs one
+    listdir and builds NO plan at all (previously the row pushdown
+    pruned everything but the merge still paid a scan+agg+broadcast job
+    per batch).
+
+    The per-key max aggregate is broadcast only while the journal's
+    on-disk size stays under ``TOMBSTONE_BROADCAST_MAX_BYTES`` — the
+    same size-aware cutoff the MoR fast resolve uses. Past it (an
+    unbounded-retention table with heavy churn) the guard switches to a
+    shuffle join: slower per batch but never a driver/executor OOM, and
+    a loud hint to set ``tombstone_retention_lsns``."""
     tdf = table.read_tombstones(min_lsn=start_lsn)
     if tdf is None:
         return upd
@@ -63,6 +80,20 @@ def _tombstone_guard(
     agg = tdf.groupBy(*[F.col(k).alias(TK + k) for k in key_cols]).agg(
         F.max(F.struct(F.col("_lsn"), F.col("_ts"))).alias("__tomb")
     )
+    small_enough = table.tombstone_bytes() <= TOMBSTONE_BROADCAST_MAX_BYTES
+    if not small_enough:
+        import warnings
+
+        warnings.warn(
+            "tombstone journal exceeds the broadcast cutoff "
+            f"({TOMBSTONE_BROADCAST_MAX_BYTES >> 20} MB); the merge guard "
+            "falls back to a shuffle join — bound the journal with "
+            "IngestConfig.tombstone_retention_lsns / "
+            "maintenance.prune_tombstones",
+            stacklevel=2,
+        )
+    else:
+        agg = F.broadcast(agg)
     cond = None
     for k in key_cols:
         c = F.col(k).eqNullSafe(F.col(TK + k))
@@ -80,7 +111,7 @@ def _tombstone_guard(
         | ((u_lsn == t_lsn) & F.coalesce(u_ts > t_ts, F.lit(False)))
     )
     return (
-        upd.join(F.broadcast(agg), cond, "left")
+        upd.join(agg, cond, "left")
         .where(keep)
         .drop("__tomb", *[TK + k for k in key_cols])
     )
@@ -115,7 +146,11 @@ def _journal_tombstones(
             F.col(lsn_col).cast("long").alias("_lsn"),
             ts_expr.alias("_ts"),
         )
-        .coalesce(1)
+        # repartition, not coalesce: coalesce(1) folds the filter into a
+        # single task that reads every cached partition serially; the
+        # shuffle costs a few journal-row-sized blocks and keeps the
+        # delete filter parallel
+        .repartition(1)
         .write.mode("overwrite")
         .parquet(out)
     )
@@ -558,9 +593,24 @@ def _merge_mor(
     shuffle_n = max(
         len(touched), int(table.spark.conf.get("spark.sql.shuffle.partitions", "32"))
     )
+    # Hash-partition the delta write instead of repartitionByRange: the
+    # range partitioner samples its input (an extra job over the cached
+    # slice EVERY batch) purely to balance — but post-dedup delta rows
+    # are near-uniform across buckets (the key hash spreads them), so a
+    # hash exchange gives the same file count (one file per touched
+    # bucket when buckets >= tasks) without the sampling pass. When the
+    # cluster is wider than the bucket count, a deterministic key-hash
+    # salt splits each bucket across ~shuffle_n/num_buckets tasks so
+    # write parallelism never caps at num_buckets (guide §2.5:
+    # deterministic synthetic keys, never rand()).
+    nsplit = -(-2 * shuffle_n // max(table.num_buckets, 1))  # ceil
+    if nsplit > 1:
+        salt = F.pmod(F.xxhash64(F.col(key_cols[0])), F.lit(nsplit))
+        parted = upd.repartition(shuffle_n, F.col(BUCKET_COL), salt)
+    else:
+        parted = upd.repartition(shuffle_n, F.col(BUCKET_COL))
     (
-        upd.repartitionByRange(shuffle_n, F.col(BUCKET_COL), F.col(key_cols[0]))
-        .write.partitionBy(BUCKET_COL)
+        parted.write.partitionBy(BUCKET_COL)
         .mode("overwrite")
         .parquet(abs_commit)
     )

@@ -264,11 +264,17 @@ class _Overlay(Mapping):
         return bool(self._updates) or bool(self._base)
 
 
+_MISSING = object()  # cache sentinel: "not looked up yet" vs "no stats"
+
+
 class LakeTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = os.path.abspath(path)
         self._manifest_cache: dict | None = None
+        # per-file max journaled _lsn (files are immutable; see
+        # _tombstone_max_lsn)
+        self._tombstone_bounds_cache: dict[str, int | None] = {}
 
     # ------------------------------------------------------------------ #
     # lifecycle
@@ -1262,10 +1268,19 @@ class LakeTable:
         """Journaled delete events, optionally only those ABOVE a slice's
         start LSN (the only ones that can outrank its rows). Returns
         None when the journal is empty — the common no-deletes-ever
-        case costs one listdir per merge, no Spark plan."""
+        case costs one listdir per merge, no Spark plan — or when the
+        cached per-file footer bounds prove no journaled delete exceeds
+        ``min_lsn`` (the in-order-slices case: previously the parquet
+        pushdown pruned every ROW but the merge still paid a
+        scan+aggregate+broadcast JOB per batch; now the whole guard plan
+        is skipped driver-side)."""
         dirs = self.tombstone_dirs()
         if not dirs:
             return None
+        if min_lsn is not None:
+            hi = self._tombstone_max_lsn(dirs)
+            if hi is not None and hi <= int(min_lsn):
+                return None
         df = (
             self.spark.read.schema(self._tombstone_schema())
             .option("recursiveFileLookup", "true")
@@ -1274,6 +1289,58 @@ class LakeTable:
         if min_lsn is not None:
             df = df.where(F.col("_lsn") > F.lit(int(min_lsn)))
         return df
+
+    def _tombstone_max_lsn(self, dirs: list[str]) -> int | None:
+        """Max journaled ``_lsn`` from parquet footer stats, driver-side.
+        Journal entry files are immutable, so per-FILE maxima are cached
+        on the handle; a dir rewritten by ``prune_tombstones`` gets new
+        file names and simply misses the cache once. Returns None when
+        any file's stats are unavailable (conservative: caller must
+        read)."""
+        import pyarrow.parquet as pq
+
+        cache = self._tombstone_bounds_cache
+        best: int | None = None
+        for d in dirs:
+            for root, _sub, files in os.walk(d):
+                for fn in files:
+                    if not fn.endswith(".parquet"):
+                        continue
+                    p = os.path.join(root, fn)
+                    hi = cache.get(p, _MISSING)
+                    if hi is _MISSING:
+                        hi = None
+                        try:
+                            md = pq.ParquetFile(p).metadata
+                            idx = md.schema.to_arrow_schema().get_field_index("_lsn")
+                            for rg in range(md.num_row_groups):
+                                st = md.row_group(rg).column(idx).statistics
+                                if st is None or not st.has_min_max:
+                                    hi = None
+                                    break
+                                v = int(st.max)
+                                hi = v if hi is None else max(hi, v)
+                        except Exception:
+                            hi = None
+                        cache[p] = hi
+                    if hi is None:
+                        return None
+                    best = hi if best is None else max(best, hi)
+        return best
+
+    def tombstone_bytes(self) -> int:
+        """Total on-disk size of the journal (drives the guard's
+        broadcast-vs-shuffle decision)."""
+        total = 0
+        for d in self.tombstone_dirs():
+            for root, _sub, files in os.walk(d):
+                for fn in files:
+                    if fn.endswith(".parquet"):
+                        try:
+                            total += os.path.getsize(os.path.join(root, fn))
+                        except OSError:
+                            pass
+        return total
 
     def bucket_expr(self, col: str | None = None) -> F.Column:
         return bucket_of(col or self.key_cols[0], self.num_buckets)

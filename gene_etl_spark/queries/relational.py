@@ -588,14 +588,22 @@ FROM events GROUP BY 1
 def q_bh_fdr(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     grp = Window.partitionBy("event_type")
-    p = F.percent_rank().over(grp.orderBy(F.asc("value"), F.asc("event_id")))
+    # ONE window ordering for the whole query (round 7): p_value is
+    # percent_rank over (value ASC, event_id ASC), so ordering by
+    # (p_value, event_id) is the SAME total order as (value, event_id)
+    # — ties in p_value are exactly ties in value, and event_id breaks
+    # both identically. Likewise the BH suffix-min over the DESC order
+    # is an ASC-order min over (currentRow, unboundedFollowing). The
+    # old form's three distinct orderings cost three sorts after the
+    # one hash exchange; every window below shares one sort. Values
+    # are bit-identical — only the physical plan changes.
+    w_asc = grp.orderBy(F.asc("value"), F.asc("event_id"))
+    p = F.percent_rank().over(w_asc)
     df = ev.select("event_id", "event_type", "value").withColumn("p_value", p)
     n = F.count(F.lit(1)).over(grp)
-    r = F.row_number().over(grp.orderBy(F.asc("p_value"), F.asc("event_id")))
+    r = F.row_number().over(w_asc)
     df = df.withColumn("raw_q", F.col("p_value") * n / r)
-    wsuf = grp.orderBy(F.desc("p_value"), F.desc("event_id")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    wsuf = w_asc.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     return df.select(
         "event_id",
         "event_type",

@@ -199,13 +199,25 @@ class BinlogSource:
         }
 
     def max_lsn(self) -> int:
-        row = None
-        schema = self.schema
-        for _cols, fs in self._groups():
-            df = self._read(schema, fs).agg(F.max("lsn").alias("m"))
-            r = df.collect()[0]["m"]
-            row = r if row is None else max(row, r)
-        return int(row or 0)
+        """High-water LSN of the log. Fast path: every tranche's footer
+        carries exact lsn min/max stats (``file_lsn_bounds``), so the
+        answer is a driver-side max over cached bounds — no Spark job,
+        no scan. Falls back to one aggregate scan of just the files
+        whose bounds are unknown (jsonl, stats-less writers)."""
+        unknown: list[str] = []
+        best: int | None = None
+        for f in self.files():
+            b = self.file_lsn_bounds(f)
+            if b is None:
+                unknown.append(f)
+            else:
+                best = b[1] if best is None else max(best, b[1])
+        if unknown:
+            schema = self.schema
+            r = self._read(schema, unknown).agg(F.max("lsn").alias("m")).collect()[0]["m"]
+            if r is not None:
+                best = int(r) if best is None else max(best, int(r))
+        return int(best or 0)
 
     def plan_batches(
         self, from_lsn: int, slice_width: int, max_batches: int | None = None

@@ -131,9 +131,12 @@ def test_mor_post_compaction_late_slice(spark, tmp_path):
 
 def test_in_order_slices_prune_the_journal_read(cow, spark):
     _merge(cow, spark, [("c1", 0, None, 500, "D")], "del")
-    # an in-order slice reads only tombstones above its start LSN —
-    # parquet min/max pushdown leaves nothing
-    assert cow.read_tombstones(min_lsn=500).count() == 0
+    # an in-order slice can only be outranked by tombstones above its
+    # start LSN; the cached footer bounds prove there are none, so the
+    # guard builds NO plan at all (round 7: previously parquet pushdown
+    # pruned every row but the merge still paid a scan+agg+broadcast
+    # job per batch)
+    assert cow.read_tombstones(min_lsn=500) is None
     assert cow.read_tombstones(min_lsn=499).count() == 1
 
 
@@ -216,3 +219,37 @@ def test_stream_out_of_order_file_delivery(spark, tmp_path):
     table = LakeTable.load(spark, cfg.lake_path)
     assert_replay_equal(table.read().toPandas(), materialize_expected(events))
     assert os.path.isdir(os.path.join(cfg.lake_path, TOMBSTONE_DIR))
+
+
+def test_large_journal_guard_shuffles_never_force_broadcasts(cow, spark, monkeypatch):
+    """Round-7 scale posture: past the size cutoff the guard must not
+    force-broadcast the journal aggregate (an unboundedly grown journal
+    would OOM the hot apply path) — and must still guard identically."""
+    from gene_etl_spark.lake import merge as mg
+
+    _merge(cow, spark, [("c9", 0, None, 800, "D")], "del9")
+    monkeypatch.setattr(mg, "TOMBSTONE_BROADCAST_MAX_BYTES", 0)
+
+    # plan pin: with the auto-broadcast threshold off, the only way the
+    # journal aggregate could be broadcast is the (removed) forced hint
+    upd = _upd(spark, [("c9", 0, "late", 700, "U"), ("cX", 0, "new", 701, "I")])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        with pytest.warns(UserWarning, match="broadcast cutoff"):
+            guarded = mg._tombstone_guard(
+                cow, upd, ["conv_id", "turn_idx"], "_op", "_lsn", "ts", 699
+            )
+        plan = guarded._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        # guard-result equality with the broadcast path: the late c9
+        # update is dropped, the unrelated insert survives
+        got = {(r.conv_id, r.turn_idx) for r in guarded.collect()}
+        assert got == {("cX", 0)}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    # end-to-end through merge: still guarded on the shuffle path
+    with pytest.warns(UserWarning, match="broadcast cutoff"):
+        _merge(cow, spark, [("c9", 0, "late2", 750, "U")], "late2")
+    assert ("c9", 0) not in _keys(cow)
