@@ -179,6 +179,11 @@ def q_multimodal_audio(spark, sf_dir):
     samples with modular arithmetic."""
     from gene_etl_spark.operators.multimodal import synth_wav_payload
 
+    # NOTE(r7): deliberately NOT fanned out — the chain is two
+    # MapInPandas stages, so N partitions cost 2N Python round trips;
+    # measured at sf0.1 a 32-way fan-out (0.7-2.4 s, high variance)
+    # never beat the single-split plan (0.7-1.2 s), whose lone task
+    # decodes the whole corpus in well under a second
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     return decode_audio_media(synth_wav_payload(docs))
 

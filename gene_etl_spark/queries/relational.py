@@ -588,22 +588,25 @@ FROM events GROUP BY 1
 def q_bh_fdr(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     grp = Window.partitionBy("event_type")
-    # ONE window ordering for the whole query (round 7): p_value is
-    # percent_rank over (value ASC, event_id ASC), so ordering by
-    # (p_value, event_id) is the SAME total order as (value, event_id)
-    # — ties in p_value are exactly ties in value, and event_id breaks
-    # both identically. Likewise the BH suffix-min over the DESC order
-    # is an ASC-order min over (currentRow, unboundedFollowing). The
-    # old form's three distinct orderings cost three sorts after the
-    # one hash exchange; every window below shares one sort. Values
-    # are bit-identical — only the physical plan changes.
+    # Share the ascending sort (round 7): p_value is percent_rank over
+    # (value ASC, event_id ASC), so ordering by (p_value, event_id) is
+    # the SAME total order as (value, event_id) — ties in p_value are
+    # exactly ties in value, and event_id breaks both identically; the
+    # rank window therefore reuses the percent_rank window's sort
+    # instead of adding its own. The BH suffix-min stays the DESC-order
+    # RUNNING min on purpose: a (currentRow, unboundedFollowing) frame
+    # looks equivalent but WindowExec recomputes unbounded-following
+    # aggregates from scratch per row — O(n^2) per group (measured
+    # 0.96 s -> 33.7 s at 100k events). Values are bit-identical.
     w_asc = grp.orderBy(F.asc("value"), F.asc("event_id"))
     p = F.percent_rank().over(w_asc)
     df = ev.select("event_id", "event_type", "value").withColumn("p_value", p)
     n = F.count(F.lit(1)).over(grp)
     r = F.row_number().over(w_asc)
     df = df.withColumn("raw_q", F.col("p_value") * n / r)
-    wsuf = w_asc.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    wsuf = grp.orderBy(F.desc("value"), F.desc("event_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
     return df.select(
         "event_id",
         "event_type",
