@@ -224,14 +224,18 @@ def zorder_expr(
             # the tz-reinterpretation is the identity
             num = num.cast("timestamp")
         elif isinstance(dtype, T.StringType):
+            # coalesce INSIDE the clamp: least() skips nulls, so the
+            # old least(ascii(NULL), 255) nesting sent NULL strings to
+            # the TOP radix value — contradicting the documented
+            # "NULLs rank 0" rule (ADVICE r6; layout-only either way,
+            # bounds stay real values and the residual filter always
+            # applies)
             num = reduce(
                 lambda a, b: a + b,
                 [
-                    F.coalesce(
-                        F.least(
-                            F.ascii(F.substring(num, i + 1, 1)), F.lit(255)
-                        ),
-                        F.lit(0),
+                    F.least(
+                        F.coalesce(F.ascii(F.substring(num, i + 1, 1)), F.lit(0)),
+                        F.lit(255),
                     ).cast("double")
                     * float(256 ** (5 - i))
                     for i in range(6)
@@ -300,6 +304,15 @@ def _clustered_write(
     Morton key) so per-file stats bounds stay selective at any file
     count."""
     zcol = "_zorder_key"
+    if (target_file_size_bytes or sort_cols) and cluster == "zorder":
+        # withColumn silently REPLACES a same-named user column (the
+        # later drop would then null that payload out of the rewritten
+        # files with no error) — refuse instead (ADVICE r6)
+        for reserved in (zcol, "_zorder_slice"):
+            if reserved in df.columns:
+                raise ValueError(
+                    f"cannot z-order a table with a column named {reserved!r}"
+                )
     if target_file_size_bytes or sort_cols:
         n_tasks = max(base_tasks, 1)
         if target_file_size_bytes and in_bytes:

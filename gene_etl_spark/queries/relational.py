@@ -162,23 +162,21 @@ QTY_THRESHOLD = 25.0
 
 
 def q_expression_proportion(spark, sf_dir):
+    # One hash aggregate (round 7): the original two-aggregates-plus-
+    # left-join form scanned lineitem twice and shuffled three times for
+    # values a single conditional count produces row-identically —
+    # count_if(qty > t) is 0 exactly where the join's NULL coalesced to
+    # 0, and the ratio divides the same longs. The DuckDB oracle keeps
+    # the two-CTE JOIN formulation; both reduce to the same rows.
     li = load(spark, sf_dir, "lineitem")
-    expressed = (
-        li.where(F.col("l_quantity") > QTY_THRESHOLD)
-        .groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_expressed"))
-    )
-    total = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("n_total"))
-    return (
-        total.join(expressed, "l_partkey", "left")
-        .select(
-            "l_partkey",
-            F.coalesce("n_expressed", F.lit(0)).cast("long").alias("n_expressed"),
-            "n_total",
-            F.round(
-                F.coalesce("n_expressed", F.lit(0)) / F.col("n_total"), 6
-            ).alias("expression_proportion"),
-        )
+    n_expressed = F.sum(
+        (F.col("l_quantity") > QTY_THRESHOLD).cast("long")
+    ).cast("long")
+    n_total = F.count(F.lit(1)).cast("long")
+    return li.groupBy("l_partkey").agg(
+        n_expressed.alias("n_expressed"),
+        n_total.alias("n_total"),
+        F.round(n_expressed / n_total, 6).alias("expression_proportion"),
     )
 
 
@@ -447,14 +445,28 @@ FROM ranked WHERE rank > 100 AND rank <= 200
 # — latest event per (user_id, event_type) by (ts, event_id)
 # --------------------------------------------------------------------- #
 def q_lww_latest_event(spark, sf_dir):
+    # max_by aggregate instead of the rank-1 window (round 7): the
+    # winner-per-key shape needs no sort — a hash aggregate gets
+    # map-side partial combine (hot keys collapse before the shuffle)
+    # and drops the window's per-partition sort. Winner identical:
+    # max over struct(ts, event_id) is exactly rank 1 of (ts DESC,
+    # event_id DESC), and event_id is unique so there are no ties.
+    # The window FORM of W2 stays covered by `lww_dedup_salted` (the
+    # salted two-phase operator in operators/dedup.py).
     ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id", "event_type").orderBy(
-        F.desc("ts"), F.desc("event_id")
-    )
+    win = F.max_by(
+        F.struct("event_id", "ts", "value"), F.struct("ts", "event_id")
+    ).alias("_w")
     return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("user_id", "event_type", "event_id", "ts", F.round("value", 4).alias("value"))
+        ev.groupBy("user_id", "event_type")
+        .agg(win)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("_w.event_id").alias("event_id"),
+            F.col("_w.ts").alias("ts"),
+            F.round("_w.value", 4).alias("value"),
+        )
     )
 
 

@@ -96,9 +96,19 @@ def _prewarm_python_workers(spark: SparkSession, cores: int) -> None:
 
             return s
 
+        df = spark.range(0, cores, 1, cores)
         (
-            spark.range(0, cores, 1, cores)
-            .select(_warm("id"))
+            df.select(_warm("id"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        # also touch the grouped-map path once: its worker-side
+        # serializer and JVM operator warm separately from the scalar
+        # Arrow path (one tiny job, a few hundred ms)
+        (
+            df.groupBy((F.col("id") % cores).alias("g"))
+            .applyInPandas(lambda p: p[["id"]], "id long")
             .write.format("noop")
             .mode("overwrite")
             .save()
