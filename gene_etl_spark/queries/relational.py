@@ -445,28 +445,22 @@ FROM ranked WHERE rank > 100 AND rank <= 200
 # — latest event per (user_id, event_type) by (ts, event_id)
 # --------------------------------------------------------------------- #
 def q_lww_latest_event(spark, sf_dir):
-    # max_by aggregate instead of the rank-1 window (round 7): the
-    # winner-per-key shape needs no sort — a hash aggregate gets
-    # map-side partial combine (hot keys collapse before the shuffle)
-    # and drops the window's per-partition sort. Winner identical:
-    # max over struct(ts, event_id) is exactly rank 1 of (ts DESC,
-    # event_id DESC), and event_id is unique so there are no ties.
-    # The window FORM of W2 stays covered by `lww_dedup_salted` (the
-    # salted two-phase operator in operators/dedup.py).
+    # Deliberately the rank-1 WINDOW, not a max_by aggregate (round 7,
+    # measured): events has ~1.3 rows per (user_id, event_type) key, so
+    # map-side partial combine collapses nothing, and max_by over a
+    # struct falls back to SortAggregate — two sort passes vs the
+    # window's one (4× data: window 0.50-0.53 s, max_by 0.65 s; row
+    # sets identical). The aggregate form wins only on many-events-per-
+    # key streams, which is exactly where the ENGINE's lww_dedup_agg is
+    # used; this query's distribution is the opposite.
     ev = load(spark, sf_dir, "events")
-    win = F.max_by(
-        F.struct("event_id", "ts", "value"), F.struct("ts", "event_id")
-    ).alias("_w")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
     return (
-        ev.groupBy("user_id", "event_type")
-        .agg(win)
-        .select(
-            "user_id",
-            "event_type",
-            F.col("_w.event_id").alias("event_id"),
-            F.col("_w.ts").alias("ts"),
-            F.round("_w.value", 4).alias("value"),
-        )
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", F.round("value", 4).alias("value"))
     )
 
 
