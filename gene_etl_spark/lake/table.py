@@ -83,6 +83,44 @@ def _validate_where(where) -> None:
             raise ValueError(f"'between' needs a (lo, hi) pair: {val!r}")
 
 
+STRING_BOUND_MAX_LEN = 16  # Iceberg's write.metadata.metrics truncate(16)
+
+
+def _truncate_upper_string(s: str) -> str:
+    """Iceberg-style upper-bound truncation: the 16-char prefix with its
+    last incrementable char bumped one code point (skipping the
+    surrogate gap), which is > every string sharing the prefix. Falls
+    back to the full value when no char can be incremented (all
+    U+10FFFF — pathological)."""
+    chars = list(s[:STRING_BOUND_MAX_LEN])
+    for i in range(len(chars) - 1, -1, -1):
+        cp = ord(chars[i])
+        if cp < 0x10FFFF:
+            ncp = cp + 1
+            if 0xD800 <= ncp <= 0xDFFF:  # unencodable surrogate range
+                ncp = 0xE000
+            chars[i] = chr(ncp)
+            return "".join(chars[: i + 1])
+    return s
+
+
+def _truncate_string_bounds(lo, hi):
+    """Bound long string stats before they enter piece JSONs — a
+    kilobyte-scale text stats_col would otherwise replay its min/max
+    into EVERY commit's piece metadata (the arrow writer itself only
+    drops stats past ~4 KB per value, so the 17..4096-char range
+    bloats un-truncated). Lower bound: plain prefix (≤ the true min).
+    Upper: prefix with last-char increment (≥ the true max). The
+    widened interval keeps ``_bounds_may_match`` conservative — a
+    matching file can never be pruned; the only cost is keeping a rare
+    boundary file."""
+    if isinstance(lo, str) and len(lo) > STRING_BOUND_MAX_LEN:
+        lo = lo[:STRING_BOUND_MAX_LEN]
+    if isinstance(hi, str) and len(hi) > STRING_BOUND_MAX_LEN:
+        hi = _truncate_upper_string(hi)
+    return lo, hi
+
+
 def _bounds_may_match(bounds, op, val) -> bool:
     """Can any value in [lo, hi] satisfy ``op val``? Conservative: an
     incomparable type (or any surprise) keeps the file. Parquet min/max
@@ -1185,6 +1223,14 @@ class LakeTable:
                             )
                         ):
                             lo = hi = None
+                        else:
+                            # Iceberg-parity truncation: long string
+                            # bounds are prefix-truncated (lower) /
+                            # prefix-incremented (upper) so a long-text
+                            # stats column cannot bloat piece JSONs;
+                            # widened bounds stay conservative for every
+                            # pruning op
+                            lo, hi = _truncate_string_bounds(lo, hi)
                         if column in with_nulls:
                             if lo is not None and nulls is not None:
                                 out[column][rel] = [lo, hi, nulls, nrows]
