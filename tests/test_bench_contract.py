@@ -1,5 +1,6 @@
 """bench.py round-over-round delta logic (pure unit tests, no Spark)."""
 
+import pytest
 import os
 import sys
 
@@ -29,3 +30,7 @@ def test_query_deltas_driver_wrapped_format(monkeypatch):
 def test_query_deltas_without_prior_round(monkeypatch):
     monkeypatch.setattr(bench, "_prev_round_bench", lambda: None)
     assert bench.query_deltas({"a": 1.0}) == {}
+
+
+# two-tier test policy (round 7): this module is in the smoke tier
+pytestmark = pytest.mark.smoke

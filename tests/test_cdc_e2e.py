@@ -241,3 +241,7 @@ def test_strict_pre_checks_path_still_replays_equal(spark, workdir, stream):
     assert_replay_equal(lake_to_pandas(runner), materialize_expected(cfg.events_path))
     vlog = runner.validator.read_log().toPandas()
     assert "lsn_unique" in set(vlog["check_name"])
+
+
+# two-tier test policy (round 7): this module is in the smoke tier
+pytestmark = pytest.mark.smoke

@@ -359,3 +359,7 @@ def test_bounds_may_match_is_conservative_on_type_surprises():
     assert _bounds_may_match([1, 5], "in", [0, 6]) is False
     assert _bounds_may_match([1, 5], "between", (5, 9)) is True
     assert _bounds_may_match([1, 5], "between", (6, 9)) is False
+
+
+# two-tier test policy (round 7): this module is in the smoke tier
+pytestmark = pytest.mark.smoke

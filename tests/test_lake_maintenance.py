@@ -1,5 +1,6 @@
 """Lake maintenance: time travel, compaction, snapshot expiry, vacuum."""
 
+import pytest
 import os
 
 from gene_etl_spark.config import IngestConfig
@@ -151,3 +152,7 @@ def test_sized_sorted_compaction_and_lookup_pruning(spark, workdir):
         if checked >= 3:
             break
     assert checked >= 1
+
+
+# two-tier test policy (round 7): this module is in the smoke tier
+pytestmark = pytest.mark.smoke

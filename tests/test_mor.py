@@ -1,6 +1,7 @@
 """Merge-on-read mode: replay equality, tombstone resolution, resume,
 compaction folding, time travel, vacuum safety."""
 
+import pytest
 import os
 
 from pyspark.sql import functions as F
@@ -182,3 +183,7 @@ def test_mor_interop_with_cow(spark, workdir):
     assert_replay_equal(
         r2.table.read().toPandas(), materialize_expected(cfg.events_path)
     )
+
+
+# two-tier test policy (round 7): this module is in the smoke tier
+pytestmark = pytest.mark.smoke

@@ -312,3 +312,7 @@ def test_candidate_view_q_plan_is_cohort_partitioned(spark):
     plan = formatted_plan(q_candidate_view_q(spark, "/root/testdata/sf0.001"))
     assert "TakeOrderedAndProject" in plan
     assert "hashpartitioning(cohort" in plan  # BH runs per cohort
+
+
+# two-tier test policy (round 7): this module is in the smoke tier
+pytestmark = pytest.mark.smoke

@@ -558,3 +558,7 @@ def test_streaming_maintained_rollup(spark, workdir):
     assert got == expect
     # one fenced rollup commit per applied epoch
     assert len(roll.table.committed_batches()) == summary["epochs"]
+
+
+# two-tier test policy (round 7): this module is in the smoke tier
+pytestmark = pytest.mark.smoke

@@ -214,3 +214,7 @@ def test_emb_blocks_bounds_per_task_rows():
             assert rows_per_block * dim * 8 <= EMB_BLOCK_TARGET_BYTES + dim * 8
     # monotone: more data never means fewer blocks
     assert _emb_blocks(2_000_000, 768) >= _emb_blocks(1_000_000, 768)
+
+
+# two-tier test policy (round 7): this module is in the smoke tier
+pytestmark = pytest.mark.smoke

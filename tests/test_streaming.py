@@ -1,6 +1,7 @@
 """Structured Streaming ingest: drain the binlog via availableNow and
 assert the final lake state equals the oracle; rerun must be a no-op."""
 
+import pytest
 import os
 
 from gene_etl_spark.config import IngestConfig
@@ -101,3 +102,7 @@ def test_binlog_source_sees_appended_tranches(spark, workdir):
     hi = src.max_lsn()
     got = src.read_slice(first_max, hi).count()
     assert got == t.num_rows
+
+
+# two-tier test policy (round 7): this module is in the smoke tier
+pytestmark = pytest.mark.smoke

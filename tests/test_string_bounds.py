@@ -157,3 +157,7 @@ def test_where_on_long_strings_stays_exact_and_still_prunes(long_text_table):
         ).collect()
     }
     assert pruned == full and len(full) == 10
+
+
+# two-tier test policy (round 7): this module is in the smoke tier
+pytestmark = pytest.mark.smoke

@@ -253,3 +253,7 @@ def test_large_journal_guard_shuffles_never_force_broadcasts(cow, spark, monkeyp
     with pytest.warns(UserWarning, match="broadcast cutoff"):
         _merge(cow, spark, [("c9", 0, "late2", 750, "U")], "late2")
     assert ("c9", 0) not in _keys(cow)
+
+
+# two-tier test policy (round 7): this module is in the smoke tier
+pytestmark = pytest.mark.smoke

@@ -127,3 +127,7 @@ def test_registry_entry_runs_oracle_gated(spark):
         "doc_id", "sample_rate", "n_channels", "n_frames", "duration_sec", "rms",
     ]
     assert out.count() > 0
+
+
+# two-tier test policy (round 7): this module is in the smoke tier
+pytestmark = pytest.mark.smoke
