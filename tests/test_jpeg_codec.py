@@ -248,3 +248,45 @@ def test_spark_decode_media_on_genuine_jpegs(spark):
         gw, gh, gm = got[doc_id]
         assert (gw, gh) == (w, h)
         assert abs(gm - mean) < 3.0  # lossy: mean intensity preserved
+
+
+def test_batch_restart_decoder_matches_scalar_exactly():
+    """Round-7 transposed batch decoder: for every subsampling/quality
+    shape, forcing the batch path must reproduce the scalar decode
+    pixel-for-pixel (same LUTs, EXTEND, ZRL/EOB and padding semantics)."""
+    from gene_etl_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(11)
+    img = np.clip(
+        np.kron(rng.integers(0, 256, (16, 16, 3), dtype=np.uint8),
+                np.ones((8, 8, 1), dtype=np.uint8)).astype(np.int32)
+        + rng.integers(-9, 10, (128, 128, 3)),
+        0, 255,
+    ).astype(np.uint8)
+    thr = J._BATCH_MIN_SEGMENTS
+    try:
+        for sub in (False, True):
+            for q in (60, 85):
+                enc = J.encode_jpeg(img, quality=q, subsample=sub, restart_interval=4)
+                J._BATCH_MIN_SEGMENTS = 10**9
+                ref = J.decode_jpeg(enc)
+                J._BATCH_MIN_SEGMENTS = 1
+                out = J.decode_jpeg(enc)
+                assert np.array_equal(ref["pixels"], out["pixels"]), (sub, q)
+    finally:
+        J._BATCH_MIN_SEGMENTS = thr
+
+
+def test_batch_restart_decoder_raises_on_truncation():
+    from gene_etl_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (128, 128, 3), dtype=np.uint8)
+    enc = J.encode_jpeg(img, quality=85, restart_interval=4)
+    thr = J._BATCH_MIN_SEGMENTS
+    try:
+        J._BATCH_MIN_SEGMENTS = 1
+        with pytest.raises(ValueError):
+            J.decode_jpeg(enc[: len(enc) // 2])
+    finally:
+        J._BATCH_MIN_SEGMENTS = thr
