@@ -121,6 +121,85 @@ def _truncate_string_bounds(lo, hi):
     return lo, hi
 
 
+def _file_footer_stats(abs_path, columns, with_nulls):
+    """One parquet footer → per-column bounds entries (the body of
+    ``_collect_file_stats_multi``, module-level so the distributed
+    collection path can ship it to executors). Returns {col: entry}
+    where entry is ``[lo, hi]`` or the extended ``[lo, hi, null_count,
+    num_rows]`` for ``with_nulls`` columns; stats are an optimization,
+    so every failure degrades to 'no entry', never an error."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, list] = {}
+    try:
+        md = pq.ParquetFile(abs_path).metadata
+        arrow_schema = md.schema.to_arrow_schema()
+    except Exception:
+        return out
+    for column in columns:
+        try:
+            idx = arrow_schema.get_field_index(column)
+            if idx < 0:
+                continue
+            lo = hi = None
+            minmax_ok = True
+            nulls: int | None = 0
+            nrows = 0
+            for rg in range(md.num_row_groups):
+                rgm = md.row_group(rg)
+                nrows += rgm.num_rows
+                st = rgm.column(idx).statistics
+                if st is None:
+                    minmax_ok = False
+                    nulls = None
+                    continue
+                if nulls is not None and st.has_null_count:
+                    nulls += st.null_count
+                else:
+                    nulls = None
+                if st.has_min_max:
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                elif not (st.has_null_count and st.null_count == rgm.num_rows):
+                    # missing min/max on a row group with non-null
+                    # values: bounds unusable (an all-null row group
+                    # legitimately has none and doesn't widen them)
+                    minmax_ok = False
+            # JSON-safety gate: pyarrow returns raw typed stats (bytes /
+            # timestamps / decimals for such columns), which would blow
+            # up json.dump at manifest-write time — OUTSIDE this
+            # try/except — and fail the commit. Stats are an
+            # optimization: drop the bounds unless both are plain JSON
+            # scalars that also compare consistently at read time.
+            if not (
+                minmax_ok
+                and lo is not None
+                and all(
+                    isinstance(v, (int, float, str)) and not isinstance(v, bool)
+                    for v in (lo, hi)
+                )
+            ):
+                lo = hi = None
+            else:
+                # Iceberg-parity truncation: long string bounds are
+                # prefix-truncated (lower) / prefix-incremented (upper)
+                # so a long-text stats column cannot bloat piece JSONs;
+                # widened bounds stay conservative for every pruning op
+                lo, hi = _truncate_string_bounds(lo, hi)
+            if column in with_nulls:
+                if lo is not None and nulls is not None:
+                    out[column] = [lo, hi, nulls, nrows]
+                elif nulls is not None:
+                    out[column] = [None, None, nulls, nrows]
+                elif lo is not None:
+                    out[column] = [lo, hi]
+            elif lo is not None:
+                out[column] = [lo, hi]
+        except Exception:
+            continue
+    return out
+
+
 def _bounds_may_match(bounds, op, val) -> bool:
     """Can any value in [lo, hi] satisfy ``op val``? Conservative: an
     incomparable type (or any surprise) keeps the file. Parquet min/max
@@ -1136,6 +1215,14 @@ class LakeTable:
         column = column or self.key_cols[0]
         return self._collect_file_stats_multi(bucket_files, [column])[column]
 
+    # Past this many files, footer stats are collected executor-side
+    # (one Spark job over the file list) instead of the serial driver
+    # loop — a full-table compact/rebucket rewrite at scale touches
+    # thousands of files and the driver loop was its long tail
+    # (VERDICT r6 item 4, distributed half). Per-batch merges stay
+    # under it and keep the zero-job driver path.
+    DISTRIBUTED_STATS_MIN_FILES = 256
+
     def _collect_file_stats_multi(
         self,
         bucket_files: dict[str, list[str]],
@@ -1160,89 +1247,39 @@ class LakeTable:
         ``[None, None, nc, nr]`` for files whose min/max are absent or
         non-JSON-safe but whose null count is known, so an all-null
         file is skippable by every null-rejecting predicate and
-        ``is_null``/``not_null`` prune on the counts."""
-        import pyarrow.parquet as pq
+        ``is_null``/``not_null`` prune on the counts.
 
+        Driver-side serial loop up to ``DISTRIBUTED_STATS_MIN_FILES``
+        files (per-batch merges — zero extra Spark jobs); past it the
+        same per-file reader runs executor-side over a parallelized
+        file list (full-table compact/rebucket rewrites — the serial
+        loop was their long driver tail)."""
         with_nulls = set(null_counts_for or ())
+        pairs = [
+            (rel, os.path.join(self.path, rel))
+            for rels in bucket_files.values()
+            for rel in rels
+        ]
         out: dict[str, dict[str, list]] = {c: {} for c in columns}
-        for rels in bucket_files.values():
-            for rel in rels:
-                try:
-                    md = pq.ParquetFile(os.path.join(self.path, rel)).metadata
-                    arrow_schema = md.schema.to_arrow_schema()
-                except Exception:  # stats are an optimization, never a failure
-                    continue
-                for column in columns:
-                    try:
-                        idx = arrow_schema.get_field_index(column)
-                        if idx < 0:
-                            continue
-                        lo = hi = None
-                        minmax_ok = True
-                        nulls: int | None = 0
-                        nrows = 0
-                        for rg in range(md.num_row_groups):
-                            rgm = md.row_group(rg)
-                            nrows += rgm.num_rows
-                            st = rgm.column(idx).statistics
-                            if st is None:
-                                minmax_ok = False
-                                nulls = None
-                                continue
-                            if nulls is not None and st.has_null_count:
-                                nulls += st.null_count
-                            else:
-                                nulls = None
-                            if st.has_min_max:
-                                lo = st.min if lo is None else min(lo, st.min)
-                                hi = st.max if hi is None else max(hi, st.max)
-                            elif not (
-                                st.has_null_count
-                                and st.null_count == rgm.num_rows
-                            ):
-                                # missing min/max on a row group with
-                                # non-null values: bounds unusable
-                                # (an all-null row group legitimately
-                                # has none and doesn't widen them)
-                                minmax_ok = False
-                        # JSON-safety gate: pyarrow returns raw typed
-                        # stats (bytes / timestamps / decimals for such
-                        # columns), which would blow up json.dump at
-                        # manifest-write time — OUTSIDE this try/except —
-                        # and fail the commit. Stats are an optimization:
-                        # drop the bounds unless both are plain JSON
-                        # scalars that also compare consistently at read
-                        # time.
-                        if not (
-                            minmax_ok
-                            and lo is not None
-                            and all(
-                                isinstance(v, (int, float, str))
-                                and not isinstance(v, bool)
-                                for v in (lo, hi)
-                            )
-                        ):
-                            lo = hi = None
-                        else:
-                            # Iceberg-parity truncation: long string
-                            # bounds are prefix-truncated (lower) /
-                            # prefix-incremented (upper) so a long-text
-                            # stats column cannot bloat piece JSONs;
-                            # widened bounds stay conservative for every
-                            # pruning op
-                            lo, hi = _truncate_string_bounds(lo, hi)
-                        if column in with_nulls:
-                            if lo is not None and nulls is not None:
-                                out[column][rel] = [lo, hi, nulls, nrows]
-                            elif nulls is not None:
-                                out[column][rel] = [None, None, nulls, nrows]
-                            elif lo is not None:
-                                out[column][rel] = [lo, hi]
-                        elif lo is not None:
-                            out[column][rel] = [lo, hi]
-                    except Exception:
-                        continue
+        if len(pairs) >= self.DISTRIBUTED_STATS_MIN_FILES:
+            cols = list(columns)
+            wn = frozenset(with_nulls)
+            sc = self.spark.sparkContext
+            n_parts = max(1, min(len(pairs) // 32, sc.defaultParallelism))
+            collected = (
+                sc.parallelize(pairs, n_parts)
+                .map(lambda p: (p[0], _file_footer_stats(p[1], cols, wn)))
+                .collect()
+            )
+            for rel, per_col in collected:
+                for c, entry in per_col.items():
+                    out[c][rel] = entry
+            return out
+        for rel, ap in pairs:
+            for c, entry in _file_footer_stats(ap, columns, with_nulls).items():
+                out[c][rel] = entry
         return out
+
 
     @staticmethod
     def _invert_col_stats(

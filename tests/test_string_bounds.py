@@ -161,3 +161,21 @@ def test_where_on_long_strings_stays_exact_and_still_prunes(long_text_table):
 
 # two-tier test policy (round 7): this module is in the smoke tier
 pytestmark = pytest.mark.smoke
+
+
+def test_distributed_footer_stats_match_driver_loop(long_text_table):
+    """VERDICT r6 item 4 (distributed half): the executor-side stats
+    collection must produce exactly the driver loop's output."""
+    tbl = long_text_table
+    files = {b: list(fs) for b, fs in dict(tbl.manifest["files"]).items()}
+    cols = ["k", "_lsn", "body"]
+    prev = LakeTable.DISTRIBUTED_STATS_MIN_FILES
+    try:
+        LakeTable.DISTRIBUTED_STATS_MIN_FILES = 10**9
+        serial = tbl._collect_file_stats_multi(files, cols, null_counts_for=["body"])
+        LakeTable.DISTRIBUTED_STATS_MIN_FILES = 1
+        dist = tbl._collect_file_stats_multi(files, cols, null_counts_for=["body"])
+    finally:
+        LakeTable.DISTRIBUTED_STATS_MIN_FILES = prev
+    assert serial == dist
+    assert serial["k"], "key bounds expected"
